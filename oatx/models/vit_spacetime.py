@@ -1,0 +1,223 @@
+"""SpaceTimeTransformer — divided space-time ViT video tower (JAX).
+
+Re-implements the behavior of the reference tower
+(/root/reference/OATrans/model/video_transformer.py:179-357) and its object-aware
+variants (oa_video_transformer_region.py — layer-K region tap through a separate
+region_norm; oa_video_transformer_global_local.py — ½·CLS + ½·mean(patch) pooling)
+as one configurable functional model.
+
+TPU-first design:
+  * blocks are stacked along a depth axis and iterated with lax.scan (single
+    compiled block body);
+  * NHWC video layout, f32 softmax/LN statistics under a bf16 compute policy;
+  * optional jax.checkpoint (remat) around the scanned block for memory;
+  * shape-polymorphic over frame count F ≤ num_frames at trace time (F is static
+    per compiled specialization — the CC3M(1-frame)/WebVid(4-frame) alternation
+    compiles two specializations, matching the reference's two batch shapes).
+
+Block wiring (reference SpaceTimeBlock.forward, video_transformer.py:161-176):
+    t = time_attn(norm3(x));  u = x + t
+    s = space_attn(norm1(u)); r = x + s          # NOTE: residual from x, not u
+    out = r + mlp(norm2(r))
+Time attention is zero-initialized ('zeros') so an F=1 model degenerates exactly to
+the underlying ViT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from oatx.core.module import Params, stack_params, trunc_normal
+from oatx.ops.attention import divided_attention
+from oatx.ops.layers import layer_norm, linear, mlp, patch_embed_conv
+
+LN_EPS = 1e-6  # reference norm_layer = partial(nn.LayerNorm, eps=1e-6)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpaceTimeViTConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_frames: int = 4               # maximum frames (temporal embed length)
+    time_init: str = "zeros"          # 'zeros' | 'random'
+    region_tap_layer: Optional[int] = None  # e.g. 6 → also return layer-6 patches
+    pooling: str = "cls"              # 'cls' | 'cls_mean_half' (global-local)
+    remat: bool = False               # remat each block (memory ↔ flops trade)
+
+    @property
+    def patches_per_frame(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+def _init_attn(rng: jax.Array, dim: int, zeros: bool) -> Params:
+    r1, r2 = jax.random.split(rng)
+    if zeros:
+        # reference VarAttention initialize='zeros' (video_transformer.py:89-95):
+        # qkv zeroed, proj weight filled with ONES, proj bias zero.
+        return {
+            "qkv": {"kernel": jnp.zeros((dim, 3 * dim)), "bias": jnp.zeros((3 * dim,))},
+            "proj": {"kernel": jnp.ones((dim, dim)), "bias": jnp.zeros((dim,))},
+        }
+    return {
+        "qkv": {"kernel": trunc_normal(r1, (dim, 3 * dim)), "bias": jnp.zeros((3 * dim,))},
+        "proj": {"kernel": trunc_normal(r2, (dim, dim)), "bias": jnp.zeros((dim,))},
+    }
+
+
+def _init_block(rng: jax.Array, cfg: SpaceTimeViTConfig) -> Params:
+    rs = jax.random.split(rng, 4)
+    dim, hidden = cfg.embed_dim, int(cfg.embed_dim * cfg.mlp_ratio)
+    ln = lambda: {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+    return {
+        "norm1": ln(),
+        "norm2": ln(),
+        "norm3": ln(),
+        "attn": _init_attn(rs[0], dim, zeros=False),
+        "timeattn": _init_attn(rs[1], dim, zeros=(cfg.time_init == "zeros")),
+        "mlp": {
+            "fc1": {"kernel": trunc_normal(rs[2], (dim, hidden)), "bias": jnp.zeros((hidden,))},
+            "fc2": {"kernel": trunc_normal(rs[3], (hidden, dim)), "bias": jnp.zeros((dim,))},
+        },
+    }
+
+
+def init(rng: jax.Array, cfg: SpaceTimeViTConfig) -> Params:
+    n = cfg.patches_per_frame
+    rs = jax.random.split(rng, cfg.depth + 4)
+    params: Params = {
+        "patch_embed": {
+            "kernel": trunc_normal(
+                rs[0], (cfg.patch_size, cfg.patch_size, cfg.in_chans, cfg.embed_dim)
+            ),
+            "bias": jnp.zeros((cfg.embed_dim,)),
+        },
+        "cls_token": trunc_normal(rs[1], (1, 1, cfg.embed_dim)),
+        "pos_embed": trunc_normal(rs[2], (1, n + 1, cfg.embed_dim)),
+        "temporal_embed": jnp.zeros((1, cfg.num_frames, cfg.embed_dim)),
+        "blocks": stack_params([_init_block(r, cfg) for r in rs[3: 3 + cfg.depth]]),
+        "norm": {"scale": jnp.ones((cfg.embed_dim,)), "bias": jnp.zeros((cfg.embed_dim,))},
+    }
+    if cfg.region_tap_layer is not None:
+        params["region_norm"] = {
+            "scale": jnp.ones((cfg.embed_dim,)),
+            "bias": jnp.zeros((cfg.embed_dim,)),
+        }
+    return params
+
+
+def _block_apply(cfg: SpaceTimeViTConfig, bp: Params, x: jnp.ndarray, f: int) -> jnp.ndarray:
+    t_out = divided_attention(bp["timeattn"], layer_norm(bp["norm3"], x, LN_EPS),
+                              cfg.num_heads, f, mode="time")
+    u = x + t_out
+    s_out = divided_attention(bp["attn"], layer_norm(bp["norm1"], u, LN_EPS),
+                              cfg.num_heads, f, mode="space")
+    r = x + s_out  # frozen-in-time style: residual from block input
+    return r + mlp(bp["mlp"], layer_norm(bp["norm2"], r, LN_EPS))
+
+
+def embed(params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """video (B, F, H, W, C) NHWC → embedded tokens (B, 1+F·N, D) with pos/temporal
+    embeddings added (reference forward_features, video_transformer.py:303-325)."""
+    b, f, hh, ww, c = video.shape
+    assert f <= cfg.num_frames, f"{f} frames > configured max {cfg.num_frames}"
+    n = cfg.patches_per_frame
+    frames = video.reshape(b * f, hh, ww, c)
+    tokens = patch_embed_conv(params["patch_embed"], frames, cfg.patch_size)
+    tokens = tokens.reshape(b, f * n, cfg.embed_dim)
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype), (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, tokens], axis=1)
+
+    pos = params["pos_embed"].astype(tokens.dtype)
+    cls_pos = pos[:, :1]
+    tile_pos = jnp.tile(pos[:, 1:], (1, cfg.num_frames, 1))
+    tile_temporal = jnp.repeat(
+        params["temporal_embed"].astype(tokens.dtype), n, axis=1
+    )
+    total = jnp.concatenate([cls_pos, tile_pos + tile_temporal], axis=1)
+    return x + total[:, : x.shape[1]], f
+
+
+def apply(
+    params: Params,
+    cfg: SpaceTimeViTConfig,
+    video: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Forward. Returns dict with:
+      cls     — (B, D) pooled output (per cfg.pooling)
+      patches — (B, F·N, D) final-layer patch tokens after final norm
+      region  — (B, F·N, D) layer-K patch tokens through region_norm
+                 (only when cfg.region_tap_layer is set)
+    """
+    x, f = embed(params, cfg, video)
+
+    block = lambda bp, xx: _block_apply(cfg, bp, xx, f)
+    if cfg.remat:
+        block = jax.checkpoint(lambda bp, xx: _block_apply(cfg, bp, xx, f))
+
+    def scan_body(xx, bp):
+        return block(bp, xx), None
+
+    out: Dict[str, jnp.ndarray] = {}
+    k = cfg.region_tap_layer
+    if k is None:
+        x, _ = jax.lax.scan(scan_body, x, params["blocks"])
+    else:
+        # split the depth scan at K so the tap costs no extra memory
+        head = jax.tree_util.tree_map(lambda a: a[:k], params["blocks"])
+        tail = jax.tree_util.tree_map(lambda a: a[k:], params["blocks"])
+        x, _ = jax.lax.scan(scan_body, x, head)
+        out["region"] = layer_norm(params["region_norm"], x[:, 1:], LN_EPS)
+        x, _ = jax.lax.scan(scan_body, x, tail)
+
+    x = layer_norm(params["norm"], x, LN_EPS)
+    cls, patches = x[:, 0], x[:, 1:]
+    if cfg.pooling == "cls":
+        pooled = cls
+    elif cfg.pooling == "cls_mean_half":
+        # global-local variant (oa_video_transformer_global_local.py:356)
+        pooled = 0.5 * cls + 0.5 * jnp.mean(patches, axis=1)
+    else:
+        raise ValueError(f"unknown pooling {cfg.pooling!r}")
+    out["cls"] = pooled
+    out["patches"] = patches
+    return out
+
+
+def inflate_temporal_embed(
+    temporal_embed: jnp.ndarray, target_frames: int, mode: str = "zeros"
+) -> jnp.ndarray:
+    """Temporal positional-embedding inflation when checkpoint frame count differs
+    (reference model.py:119-150 _inflate_positional_embeds).
+
+    modes: 'zeros' (pad with zeros), 'interp' (nearest), 'bilinear' (linear).
+    Shrinking always truncates.
+    """
+    src = temporal_embed
+    load_frames = src.shape[1]
+    if load_frames == target_frames:
+        return src
+    if load_frames > target_frames:
+        return src[:, :target_frames]
+    if mode == "zeros":
+        pad = jnp.zeros((src.shape[0], target_frames - load_frames, src.shape[2]), src.dtype)
+        return jnp.concatenate([src, pad], axis=1)
+    if mode in ("interp", "bilinear"):
+        method = "nearest" if mode == "interp" else "linear"
+        return jax.image.resize(
+            src, (src.shape[0], target_frames, src.shape[2]), method=method
+        )
+    raise NotImplementedError(f"temporal fix mode {mode!r}")

@@ -1,0 +1,122 @@
+"""Attention ops — XLA reference implementations.
+
+`divided_spacetime_attention` reproduces the frozen-in-time VarAttention semantics
+(/root/reference/OATrans/model/video_transformer.py:79-135) as batched einsums over
+explicit (B, F, N, H, Dh) shapes instead of the torch (b·h)-flattened rearrange
+gymnastics: XLA maps these directly onto MXU matmuls and fuses the
+softmax; no data movement is wasted on flatten/unflatten.
+
+Semantics (must match for checkpoint parity):
+  * qkv = Linear(x); heads split head-major from the fused 3·D output;
+  * q pre-scaled by head_dim^-0.5;
+  * the CLS token attends over ALL F·N+1 tokens;
+  * patch tokens attend within their group (per-frame for space over N+1 keys,
+    per-position for time over F+1 keys) with the CLS key/value prepended;
+  * output = proj(concat(cls_out, group_out)).
+
+A fused Pallas kernel with identical semantics lives in
+oatx.ops.pallas.spacetime_attention; this module is the correctness oracle and the
+fallback path on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from oatx.ops.layers import linear
+
+Params = Dict[str, Any]
+
+
+def _softmax_f32(logits: jnp.ndarray, dtype) -> jnp.ndarray:
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+
+
+def _qkv(params: Params, x: jnp.ndarray, num_heads: int):
+    """(B, T, D) → q, k, v each (B, T, H, Dh); q pre-scaled."""
+    b, t, d = x.shape
+    head_dim = d // num_heads
+    qkv = linear(params["qkv"], x)  # (B, T, 3D)
+    qkv = qkv.reshape(b, t, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q = q * (head_dim ** -0.5)
+    return q, k, v
+
+
+def full_attention(
+    params: Params, x: jnp.ndarray, num_heads: int, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Standard MHA over the full sequence (used by the text tower and as the
+    F=1 degenerate case). mask: (B, T) with 1 = attend."""
+    q, k, v = _qkv(params, x, num_heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask[:, None, None, :].astype(bool), logits, neg)
+    p = _softmax_f32(logits, x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32)
+    out = out.reshape(x.shape).astype(x.dtype)
+    return linear(params["proj"], out)
+
+
+def divided_attention(
+    params: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    num_frames: int,
+    mode: str,
+) -> jnp.ndarray:
+    """One VarAttention pass with grouping `mode` ∈ {'space', 'time'}.
+
+    x: (B, 1 + F·N, D) with token order [CLS, f0p0..f0pN-1, f1p0, ...].
+    """
+    b, t, d = x.shape
+    f = num_frames
+    n = (t - 1) // f
+    assert 1 + f * n == t, f"token count {t} incompatible with {f} frames"
+    h = num_heads
+    dh = d // h
+
+    q, k, v = _qkv(params, x, h)  # (B, T, H, Dh), q scaled
+
+    # CLS row: attends over every token (both groupings do this identically).
+    cls_q = q[:, :1]
+    cls_logits = jnp.einsum("bqhd,bkhd->bhqk", cls_q, k, preferred_element_type=jnp.float32)
+    cls_p = _softmax_f32(cls_logits, x.dtype)
+    cls_out = jnp.einsum("bhqk,bkhd->bqhd", cls_p, v, preferred_element_type=jnp.float32)
+    cls_out = cls_out.astype(x.dtype)  # (B, 1, H, Dh)
+
+    # Patch tokens grouped.
+    qp = q[:, 1:].reshape(b, f, n, h, dh)
+    kp = k[:, 1:].reshape(b, f, n, h, dh)
+    vp = v[:, 1:].reshape(b, f, n, h, dh)
+    cls_k = k[:, :1]  # (B, 1, H, Dh)
+    cls_v = v[:, :1]
+
+    if mode == "space":
+        # groups = frames: (B, F, N, H, Dh); keys = [CLS] + frame patches
+        kg = jnp.concatenate([jnp.broadcast_to(cls_k[:, None], (b, f, 1, h, dh)), kp], axis=2)
+        vg = jnp.concatenate([jnp.broadcast_to(cls_v[:, None], (b, f, 1, h, dh)), vp], axis=2)
+        logits = jnp.einsum("bfqhd,bfkhd->bfhqk", qp, kg, preferred_element_type=jnp.float32)
+        p = _softmax_f32(logits, x.dtype)
+        out = jnp.einsum("bfhqk,bfkhd->bfqhd", p, vg, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).reshape(b, f * n, h, dh)
+    elif mode == "time":
+        # groups = patch positions: (B, N, F, H, Dh); keys = [CLS] + same-position frames
+        qt = jnp.swapaxes(qp, 1, 2)  # (B, N, F, H, Dh)
+        kt = jnp.swapaxes(kp, 1, 2)
+        vt = jnp.swapaxes(vp, 1, 2)
+        kg = jnp.concatenate([jnp.broadcast_to(cls_k[:, None], (b, n, 1, h, dh)), kt], axis=2)
+        vg = jnp.concatenate([jnp.broadcast_to(cls_v[:, None], (b, n, 1, h, dh)), vt], axis=2)
+        logits = jnp.einsum("bnqhd,bnkhd->bnhqk", qt, kg, preferred_element_type=jnp.float32)
+        p = _softmax_f32(logits, x.dtype)
+        out = jnp.einsum("bnhqk,bnkhd->bnqhd", p, vg, preferred_element_type=jnp.float32)
+        out = jnp.swapaxes(out.astype(x.dtype), 1, 2).reshape(b, f * n, h, dh)
+    else:
+        raise ValueError(f"mode must be 'space' or 'time', got {mode!r}")
+
+    full = jnp.concatenate([cls_out, out], axis=1).reshape(b, t, d)
+    return linear(params["proj"], full)
