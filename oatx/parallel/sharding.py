@@ -1,0 +1,63 @@
+"""Parameter sharding rules (GSPMD).
+
+Megatron-style tensor parallelism for the transformer kernels, expressed purely as
+sharding annotations — XLA inserts the all-reduce after the second MLP/attention
+matmul. Rules are name-based over the oatx param trees (which stack blocks on a
+leading depth axis, so kernel shapes are (L, in, out)):
+
+  fc1 / lin1 / qkv kernels → shard the OUT dim over 'model' (column parallel)
+  fc2 / lin2 / proj / out  → shard the IN dim over 'model'  (row parallel)
+  embedding tables (vocab) → shard the vocab dim over 'model'
+  everything else          → replicated
+
+With model-axis size 1 these all collapse to replication (pure DP). Optimizer state
+inherits the same specs (optax states mirror the param tree).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from oatx.parallel.mesh import MODEL_AXIS
+
+_COL_PARALLEL = ("fc1", "lin1", "qkv", "q", "k", "v")
+_ROW_PARALLEL = ("fc2", "lin2", "proj", "out")
+
+
+def _spec_for(path: Tuple[str, ...], leaf) -> P:
+    names = [p for p in path]
+    leafname = names[-1] if names else ""
+    parent = names[-2] if len(names) >= 2 else ""
+    if leafname == "kernel":
+        ndim = leaf.ndim
+        if parent in _COL_PARALLEL:
+            return P(*([None] * (ndim - 1)), MODEL_AXIS)
+        if parent in _ROW_PARALLEL:
+            return P(*([None] * (ndim - 2)), MODEL_AXIS, None)
+    if leafname == "word" and leaf.ndim == 2:  # vocab embedding table
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree matching `params`."""
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return _spec_for(path, tree)
+    return walk(params, ())
+
+
+def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), param_specs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    sh = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)

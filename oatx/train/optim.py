@@ -1,0 +1,70 @@
+"""Optimizers, LR schedules, and parameter freezing (optax).
+
+Reference parity:
+  * AdamW lr 2e-4 (configs/pt/cc3m_webvid/norm.json:82-87);
+  * step decay ×0.1 at epoch milestones [60, 80]
+    (trainer_dist.py:117-122 _adjust_learning_rate);
+  * linear-probe freezing: train only vid_proj/txt_proj
+    (utils/param_forzen.py:4-10, gated by train_dist_multi.py linear_eval).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import optax
+
+
+def step_decay_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    milestones: Sequence[int] = (60, 80),
+    gamma: float = 0.1,
+) -> optax.Schedule:
+    """lr = base · gamma^(#milestone epochs passed)."""
+    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(
+    lr: float | optax.Schedule = 2e-4,
+    weight_decay: float = 0.01,
+    betas: Tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    grad_clip: Optional[float] = None,
+    trainable_filter=None,
+) -> optax.GradientTransformation:
+    """AdamW (torch-default hyperparams), optional global-norm clipping and a
+    trainable-parameter mask (path-predicate) for linear-probe freezing."""
+    tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if trainable_filter is not None:
+        tx = optax.chain(
+            freeze_mask_transform(trainable_filter),
+            tx,
+        )
+    return tx
+
+
+def freeze_mask_transform(trainable_filter) -> optax.GradientTransformation:
+    """Zero the gradients of frozen params. trainable_filter(path_tuple) → bool."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def walk(tree, path):
+            if isinstance(tree, dict):
+                return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            return tree if trainable_filter(path) else jax.numpy.zeros_like(tree)
+
+        return walk(updates, ()), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def linear_probe_filter(path: Tuple[str, ...]) -> bool:
+    """Train only the projection heads (reference forzen_param semantics)."""
+    return len(path) > 0 and ("proj" in path[0])
