@@ -1,0 +1,302 @@
+"""Typed experiment configuration, JSON-schema-compatible with the reference.
+
+The reference drives everything from JSON files (configs/**.json) with schema
+{name, n_gpu, arch{type, object, stream, args{video_params, object_params,
+text_params, projection, load_checkpoint}}, data_loader (dict | list), optimizer,
+loss, metrics, trainer{...}, visualizer} — see
+/root/reference/OATrans/configs/pt/cc3m_webvid/norm.json and
+parse_config_dist_multi.py:13-150. oatx accepts those files unchanged and
+normalizes them into the dataclasses here (the reference's reflection-based
+`initialize(name, module)` is replaced by the explicit registry in
+oatx.config.registry).
+
+Extensions (ignored by the reference, used by oatx):
+  arch.variant          — 'baseline' | 'global_local' | 'region_mem' (the reference
+                          encodes this in the choice of entry-point script)
+  trainer.precision     — 'bf16' (default) | 'f32'
+  trainer.model_parallel — model-axis size of the device mesh (default 1)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+
+
+def _get(d: Dict[str, Any], key: str, default=None):
+    v = d.get(key, default)
+    return default if v is None else v
+
+
+@dataclasses.dataclass
+class VideoParamsCfg:
+    model: str = "SpaceTimeTransformer"
+    arch_config: str = "base_patch16_224"
+    num_frames: int = 4
+    pretrained: bool = True
+    time_init: str = "zeros"
+    two_outputs: bool = False
+    input_res: int = 224
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "VideoParamsCfg":
+        return cls(
+            model=_get(d, "model", "SpaceTimeTransformer"),
+            arch_config=_get(d, "arch_config", "base_patch16_224"),
+            num_frames=int(_get(d, "num_frames", 4)),
+            pretrained=bool(_get(d, "pretrained", True)),
+            time_init=_get(d, "time_init", "zeros"),
+            two_outputs=bool(_get(d, "two_outputs", False)),
+            input_res=int(_get(d, "input_res", 224)),
+        )
+
+
+@dataclasses.dataclass
+class TextParamsCfg:
+    model: str = "distilbert-base-uncased"
+    pretrained: bool = True
+    input: str = "text"
+    two_outputs: bool = False
+    object_tags: bool = False
+
+    @property
+    def family(self) -> str:
+        """'distilbert' | 'bert' — the reference dispatches on the basename prefix
+        (model.py:104-110, oa_model_global_local.py:211-214)."""
+        base = self.model.split("/")[-1]
+        if base.startswith("distilbert"):
+            return "distilbert"
+        if base.startswith("bert"):
+            return "bert"
+        return base
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TextParamsCfg":
+        return cls(
+            model=_get(d, "model", "distilbert-base-uncased"),
+            pretrained=bool(_get(d, "pretrained", True)),
+            input=_get(d, "input", "text"),
+            two_outputs=bool(_get(d, "two_outputs", False)),
+            object_tags=bool(_get(d, "object_tags", False)),
+        )
+
+
+@dataclasses.dataclass
+class ObjectParamsCfg:
+    model: str = ""
+    input_objects: bool = False
+    input_object_bboxs: bool = False
+    pseudo_labels: bool = False
+    top_k: int = 10
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ObjectParamsCfg":
+        return cls(
+            model=_get(d, "model", ""),
+            input_objects=bool(_get(d, "input_objects", False)),
+            input_object_bboxs=bool(_get(d, "input_object_bboxs", False)),
+            pseudo_labels=bool(_get(d, "pseudo_labels", False)),
+            top_k=int(_get(d, "top_k", 10)),
+        )
+
+
+@dataclasses.dataclass
+class ArchCfg:
+    type: str = "FrozenInTime"
+    variant: str = "baseline"
+    object: bool = False
+    stream: int = 2
+    video_params: VideoParamsCfg = dataclasses.field(default_factory=VideoParamsCfg)
+    text_params: TextParamsCfg = dataclasses.field(default_factory=TextParamsCfg)
+    object_params: ObjectParamsCfg = dataclasses.field(default_factory=ObjectParamsCfg)
+    projection: str = "minimal"
+    projection_dim: int = 256
+    load_checkpoint: str = ""
+    load_temporal_fix: str = "zeros"
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ArchCfg":
+        args = _get(d, "args", {})
+        return cls(
+            type=_get(d, "type", "FrozenInTime"),
+            variant=_get(d, "variant", "baseline"),
+            object=bool(_get(d, "object", False)),
+            stream=int(_get(d, "stream", 2)),
+            video_params=VideoParamsCfg.from_dict(_get(args, "video_params", {})),
+            text_params=TextParamsCfg.from_dict(_get(args, "text_params", {})),
+            object_params=ObjectParamsCfg.from_dict(_get(args, "object_params", {})),
+            projection=_get(args, "projection", "minimal"),
+            projection_dim=int(_get(args, "projection_dim", 256)),
+            load_checkpoint=_get(args, "load_checkpoint", "") or "",
+            load_temporal_fix=_get(args, "load_temporal_fix", "zeros"),
+        )
+
+
+@dataclasses.dataclass
+class DataLoaderCfg:
+    type: str = "TextVideoDataLoader"
+    dataset_name: str = "MSRVTT"
+    data_dir: str = ""
+    object_dir: str = ""
+    metadata_dir: Optional[str] = None
+    reader: str = "cv2"
+    shuffle: bool = True
+    num_workers: int = 4
+    batch_size: int = 16
+    split: str = "train"
+    cut: Optional[str] = None
+    subsample: int = 1
+    text_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    object_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    video_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @property
+    def input_res(self) -> int:
+        return int(_get(self.video_params, "input_res", 224))
+
+    @property
+    def num_frames(self) -> int:
+        return int(_get(self.video_params, "num_frames", 4))
+
+    @property
+    def loading(self) -> str:
+        return _get(self.video_params, "loading", "strict")
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DataLoaderCfg":
+        args = _get(d, "args", {})
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in args.items() if k in fields}
+        return cls(type=_get(d, "type", "TextVideoDataLoader"), **kwargs)
+
+
+@dataclasses.dataclass
+class OptimizerCfg:
+    type: str = "AdamW"
+    lr: float = 2e-4
+    weight_decay: float = 0.01
+    grad_clip: Optional[float] = None
+    milestones: List[int] = dataclasses.field(default_factory=lambda: [60, 80])
+    gamma: float = 0.1
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "OptimizerCfg":
+        args = _get(d, "args", {})
+        return cls(
+            type=_get(d, "type", "AdamW"),
+            lr=float(_get(args, "lr", 2e-4)),
+            weight_decay=float(_get(args, "weight_decay", 0.01)),
+            grad_clip=args.get("grad_clip"),
+            milestones=list(_get(args, "milestones", [60, 80])),
+            gamma=float(_get(args, "gamma", 0.1)),
+        )
+
+
+@dataclasses.dataclass
+class LossCfg:
+    type: str = "NormSoftmaxLoss"
+    temperature: float = 0.05
+    margin: float = 1.0
+    region_bce_weight: float = 0.1
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "LossCfg":
+        args = _get(d, "args", {})
+        return cls(
+            type=_get(d, "type", "NormSoftmaxLoss"),
+            temperature=float(_get(args, "temperature", 0.05)),
+            margin=float(_get(args, "margin", 1.0)),
+            region_bce_weight=float(_get(args, "region_bce_weight", 0.1)),
+        )
+
+
+@dataclasses.dataclass
+class TrainerCfg:
+    epochs: int = 100
+    max_samples_per_epoch: int = 1_000_000
+    save_dir: str = "exps"
+    save_period: int = 5
+    verbosity: int = 2
+    monitor: str = "min val_loss_0"
+    early_stop: int = 10
+    init_val: bool = True
+    neptune: bool = False
+    precision: str = "bf16"
+    model_parallel: int = 1
+    seed: int = 0
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainerCfg":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+@dataclasses.dataclass
+class ExperimentCfg:
+    name: str = "experiment"
+    n_gpu: int = 1
+    arch: ArchCfg = dataclasses.field(default_factory=ArchCfg)
+    data_loaders: List[DataLoaderCfg] = dataclasses.field(default_factory=list)
+    optimizer: OptimizerCfg = dataclasses.field(default_factory=OptimizerCfg)
+    loss: LossCfg = dataclasses.field(default_factory=LossCfg)
+    metrics: List[str] = dataclasses.field(default_factory=lambda: ["t2v_metrics", "v2t_metrics"])
+    trainer: TrainerCfg = dataclasses.field(default_factory=TrainerCfg)
+    visualizer: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    raw: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ExperimentCfg":
+        dl = _get(d, "data_loader", [])
+        if isinstance(dl, dict):
+            dl = [dl]
+        return cls(
+            name=_get(d, "name", "experiment"),
+            n_gpu=int(_get(d, "n_gpu", 1)),
+            arch=ArchCfg.from_dict(_get(d, "arch", {})),
+            data_loaders=[DataLoaderCfg.from_dict(x) for x in dl],
+            optimizer=OptimizerCfg.from_dict(_get(d, "optimizer", {})),
+            loss=LossCfg.from_dict(_get(d, "loss", {})),
+            metrics=list(_get(d, "metrics", ["t2v_metrics", "v2t_metrics"])),
+            trainer=TrainerCfg.from_dict(_get(d, "trainer", {})),
+            visualizer=_get(d, "visualizer", {}),
+            raw=d,
+        )
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "ExperimentCfg":
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def build_tower_config(arch: ArchCfg, compute_dtype=None):
+    """ArchCfg → oatx.models.towers.TowerConfig."""
+    from oatx.models import distilbert as dbert
+    from oatx.models import towers
+    from oatx.models import vit_spacetime as vst
+
+    if arch.video_params.model != "SpaceTimeTransformer":
+        raise NotImplementedError(f"video model {arch.video_params.model!r}")
+    if arch.video_params.arch_config != "base_patch16_224":
+        raise NotImplementedError(f"arch_config {arch.video_params.arch_config!r}")
+    if arch.text_params.family not in ("distilbert",):
+        raise NotImplementedError(f"text model family {arch.text_params.family!r}")
+
+    video = vst.SpaceTimeViTConfig(
+        img_size=arch.video_params.input_res,
+        num_frames=arch.video_params.num_frames,
+        time_init=arch.video_params.time_init,
+    )
+    if compute_dtype is None:
+        compute_dtype = jnp.float32
+    return towers.TowerConfig(
+        video=video,
+        text=dbert.DistilBertConfig(),
+        projection_dim=arch.projection_dim,
+        projection=arch.projection,
+        variant=arch.variant,
+        compute_dtype=compute_dtype,
+    )

@@ -1,0 +1,248 @@
+"""Dataset base classes (host data plane).
+
+One unified TextVideoDataset replaces the reference's three near-duplicate base
+hierarchies (base_dataset.py / base_dataset_global_local.py /
+base_dataset_region_mem.py — ~2.8k LoC of copy-paste variants): the object-aware
+behaviors are explicit options selected by the experiment variant.
+
+Samples are plain numpy dicts with *fixed shapes* (canonical uint8 frames, padded
+object tensors) so batches collate by stacking and ship straight to device; all
+float augmentation runs on-TPU (oatx.data.transforms).
+
+Subclass hooks (same contract as the reference, base_dataset.py:56-66):
+    _load_metadata()            → populate self.metadata (list of records)
+    _get_video_path(rec)        → (abs_path, rel_path)
+    _get_caption(rec, rng)      → str
+    _get_object_path(rec, idx)  → abs path of the frame-idx object npz
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from oatx.config.schema import DataLoaderCfg
+from oatx.data import objects as obj
+from oatx.data import video_reader as vr
+from oatx.data.sampling import aligned_object_frame_index, sample_frames
+from oatx.data.transforms import host_canonicalize
+
+
+@dataclasses.dataclass
+class ObjectOptions:
+    """What object-aware extras a sample carries (selected by model variant)."""
+    tags: bool = False              # append object-tag text → pad_text
+    tags_top_k: int = 20
+    features: bool = False          # (top_k, 2054) ROI features
+    features_top_k: int = 10
+    unique_classes: bool = False
+    patch_masks: bool = False       # (num_mask_objects, 196) masks of object frame
+    num_mask_objects: int = 5
+    object_frame: bool = False      # decode + emit the aligned extraction frame
+    region_memory: Optional[obj.RegionMemoryBank] = None  # CLIP rows per class
+    extraction_frames: int = 8      # offline extractor grid size
+    pseudo_labels: bool = False
+
+
+class TextVideoDataset:
+    is_video = True
+
+    def __init__(
+        self,
+        cfg: DataLoaderCfg,
+        split: Optional[str] = None,
+        object_options: Optional[ObjectOptions] = None,
+        object_vocab: Optional[Sequence[str]] = None,
+        canon: int = 256,
+        sliding_window_stride: int = -1,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dataset_name = cfg.dataset_name
+        self.data_dir = cfg.data_dir
+        self.object_dir = cfg.object_dir
+        self.metadata_dir = cfg.metadata_dir or cfg.data_dir
+        self.split = split or cfg.split
+        self.cut = cfg.cut
+        self.subsample = cfg.subsample
+        self.text_params = cfg.text_params
+        self.object_params = cfg.object_params
+        self.video_params = cfg.video_params
+        self.num_frames = cfg.num_frames
+        self.canon = canon
+        self.loading = cfg.loading  # 'strict' | 'lax'
+        self.opts = object_options or ObjectOptions()
+        self.object_vocab = list(object_vocab) if object_vocab else None
+        self.sliding_window_stride = sliding_window_stride
+        self.seed = seed
+        self.metadata: List[Any] = []
+        self._load_metadata()
+        if self.subsample < 1 and len(self.metadata):
+            rng = np.random.default_rng(seed)
+            keep = max(1, int(len(self.metadata) * self.subsample))
+            idx = rng.permutation(len(self.metadata))[:keep]
+            self.metadata = [self.metadata[i] for i in sorted(idx)]
+
+    # ------------------------------------------------------------- hooks
+
+    def _load_metadata(self):
+        raise NotImplementedError
+
+    def _get_video_path(self, rec) -> Tuple[str, str]:
+        raise NotImplementedError
+
+    def _get_caption(self, rec, rng: np.random.Generator) -> str:
+        raise NotImplementedError
+
+    def _get_object_path(self, rec, frame_index: int = 0) -> str:
+        rel = self._get_video_rel_stem(rec)
+        return os.path.join(self.object_dir, rel, f"{frame_index}.npz")
+
+    def _get_video_rel_stem(self, rec) -> str:
+        path, rel = self._get_video_path(rec)
+        return os.path.splitext(rel)[0]
+
+    # ------------------------------------------------------------- core
+
+    def __len__(self):
+        return len(self.metadata)
+
+    def _frame_sample_mode(self) -> str:
+        return "uniform" if self.split == "test" else "rand"
+
+    def _black_frames(self, n: int) -> np.ndarray:
+        return np.zeros((n, self.canon, self.canon, 3), np.uint8)
+
+    def _read_video(self, path: str, rng: np.random.Generator,
+                    fix_start: Optional[int] = None):
+        frames, idxs, vlen = vr.read_frames(
+            path, self.num_frames, sample=self._frame_sample_mode(),
+            fix_start=fix_start, rng=rng, short_side=self.canon)
+        frames = host_canonicalize(frames, self.canon)
+        if frames.shape[0] < self.num_frames:  # short video → repeat last frame
+            pad = np.repeat(frames[-1:], self.num_frames - frames.shape[0], axis=0)
+            frames = np.concatenate([frames, pad], axis=0)
+        return frames, idxs, vlen
+
+    def get_sample(self, index: int, rng: Optional[np.random.Generator] = None,
+                   _depth: int = 0) -> Dict[str, Any]:
+        """Load one sample. 'lax' loading substitutes a deterministic other item on
+        decode failure (reference resample-random-item, bounded here); 'strict'
+        raises."""
+        if rng is None:
+            rng = np.random.default_rng((self.seed, index))
+        index = index % len(self.metadata)
+        rec = self.metadata[index]
+        video_fp, rel_fp = self._get_video_path(rec)
+        caption = self._get_caption(rec, rng)
+
+        fix_start = None
+        if self.sliding_window_stride != -1 and isinstance(rec, dict):
+            fix_start = rec.get("fix_start")
+
+        try:
+            frames, idxs, vlen = self._read_video(video_fp, rng, fix_start)
+        except (vr.DecodeError, AssertionError, OSError) as e:
+            if self.loading == "strict":
+                raise ValueError(
+                    f"Video loading failed for {video_fp}, strict mode") from e
+            if _depth >= 8:  # give up: black frames (reference zero-pad fallback)
+                frames, idxs, vlen = self._black_frames(self.num_frames), [0] * self.num_frames, 1
+            else:
+                return self.get_sample(int(rng.integers(0, len(self.metadata))),
+                                       rng, _depth + 1)
+
+        sample: Dict[str, Any] = {
+            "video": frames,
+            "text": caption,
+            "meta": {"raw_captions": caption, "paths": rel_fp,
+                     "dataset": self.dataset_name, "index": index},
+        }
+        self._add_object_extras(sample, rec, idxs, vlen, rng)
+        return sample
+
+    # alias so the dataset quacks like a torch map-style dataset
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        return self.get_sample(index)
+
+    def _add_object_extras(self, sample, rec, frame_idxs, vlen, rng) -> None:
+        o = self.opts
+        if not (o.tags or o.features or o.patch_masks or o.object_frame or
+                o.region_memory is not None or o.pseudo_labels):
+            return
+        grid_slot = aligned_object_frame_index(frame_idxs, max(vlen, 1), o.extraction_frames)
+        object_fp = self._get_object_path(rec, grid_slot)
+
+        if o.object_frame:
+            # decode the aligned extraction-grid frame as the object frame
+            grid = sample_frames(o.extraction_frames, max(vlen, 1), sample="uniform")
+            try:
+                of = vr.decode_indices(self._get_video_path(rec)[0],
+                                       [grid[grid_slot]], short_side=self.canon)
+                sample["object_frame"] = host_canonicalize(of, self.canon)
+            except vr.DecodeError:
+                sample["object_frame"] = self._black_frames(1)
+
+        loaded = obj.read_bboxes_and_ids(object_fp, top_k=o.tags_top_k)
+        if loaded is None:
+            bboxes = np.zeros((o.tags_top_k, 6), np.float32)
+            class_ids = np.zeros((o.tags_top_k,), np.int64)
+        else:
+            bboxes, class_ids = loaded
+            class_ids = class_ids.astype(np.int64)
+
+        if o.tags:
+            # np.unique's ascending-class-id ordering reproduces the reference's
+            # tag ordering quirk (read_object_tags_from_disk, base_dataset.py:584-589)
+            vocab = self.object_vocab or []
+            uniq = np.unique(class_ids)[: o.tags_top_k]
+            tags = ""
+            for cid in uniq:
+                name = vocab[int(cid) + 1] if vocab and int(cid) + 1 < len(vocab) else f"obj{cid}"
+                tags += " " + name
+            sample["pad_text"] = sample["text"] + tags
+            # fixed-size id list for token-span computation; -1 = padding slot
+            padded = np.full((o.tags_top_k,), -1, np.int64)
+            padded[: len(uniq)] = uniq
+            sample["tag_class_ids"] = padded
+
+        if o.features:
+            sample["object"] = obj.read_object_features(
+                object_fp, top_k=o.features_top_k, unique_classes=o.unique_classes)
+
+        if o.patch_masks:
+            k = o.num_mask_objects
+            n_avail = len(bboxes)
+            pick = rng.permutation(n_avail)[:k] if n_avail >= k else np.arange(n_avail)
+            picked = bboxes[pick]
+            if len(picked) < k:
+                picked = np.concatenate(
+                    [picked, np.zeros((k - len(picked), 6), np.float32)], axis=0)
+            sample["patch_masks"] = obj.patch_masks_from_bboxes(picked)
+            sample["picked_class_ids"] = (
+                class_ids[pick] if n_avail >= k else
+                np.concatenate([class_ids[pick], np.zeros(k - n_avail, np.int64)]))
+
+        if o.region_memory is not None:
+            ids = sample.get("picked_class_ids")
+            if ids is None:
+                ids = class_ids[: o.num_mask_objects]
+            sample["text_region_embedding"] = o.region_memory.lookup(ids)
+
+        if o.pseudo_labels:
+            sample["pseudo_labels"] = obj.pseudo_label_vector(object_fp)
+
+
+class TextImageDataset(TextVideoDataset):
+    """Image datasets (CC3M): 1-frame degenerate path — the native decoder reads
+    stills (jpg/png) through the same FFmpeg path."""
+
+    is_video = False
+
+    def _read_video(self, path: str, rng, fix_start=None):
+        frames = vr.decode_indices(path, [0], short_side=self.canon)
+        return host_canonicalize(frames, self.canon), [0], 1

@@ -1,0 +1,242 @@
+"""Sharded streaming loader + collation + device prefetch.
+
+Replaces the reference's torch DataLoader / DistributedSampler stack
+(/root/reference/OATrans/base/base_data_loader.py, data_loader/data_loader.py):
+
+  * ShardedLoader — map-style dataset → epoch-shuffled, shard-sliced index stream
+    (DistributedSampler(num_replicas, rank, drop_last=True) semantics,
+    base_data_loader.py:110-130), decoded by a thread pool (the native decode call
+    releases the GIL, so threads ≫ torch worker processes here) and collated into
+    fixed-shape numpy batches.
+  * MultiLoader — alternating round-robin over N loaders (the reference trains
+    CC3M/WebVid as alternating per-step batches, trainer_dist.py:146-148).
+  * device_prefetch — overlapped host→HBM transfer, batch-dim sharded over the
+    mesh's data axis, keeping the TPU fed while the host decodes ahead.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from oatx.data.tokenizer import WordPieceTokenizer
+
+
+class Collator:
+    """Sample dicts → fixed-shape numpy batch (tokenization happens here, on the
+    host, like the reference's per-step tokenizer call — trainer_dist.py:152)."""
+
+    def __init__(
+        self,
+        tokenizer: WordPieceTokenizer,
+        max_text_len: int = 30,
+        max_pad_text_len: int = 60,
+        tag_token_lens: Optional[np.ndarray] = None,  # per-class token lengths
+    ):
+        self.tokenizer = tokenizer
+        self.max_text_len = max_text_len
+        self.max_pad_text_len = max_pad_text_len
+        self.tag_token_lens = tag_token_lens
+
+    def __call__(self, samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+        batch: Dict[str, Any] = {}
+        batch["video"] = np.stack([s["video"] for s in samples])
+        tok = self.tokenizer([s["text"] for s in samples], max_length=self.max_text_len)
+        batch["input_ids"] = tok["input_ids"]
+        batch["attention_mask"] = tok["attention_mask"]
+
+        if "pad_text" in samples[0]:
+            ptok = self.tokenizer([s["pad_text"] for s in samples],
+                                  max_length=self.max_pad_text_len)
+            batch["pad_input_ids"] = ptok["input_ids"]
+            batch["pad_attention_mask"] = ptok["attention_mask"]
+        if "object_frame" in samples[0]:
+            batch["object_frame"] = np.stack([s["object_frame"] for s in samples])
+        if "object" in samples[0]:
+            batch["object"] = np.stack([s["object"] for s in samples])
+        if "patch_masks" in samples[0]:
+            batch["patch_masks"] = np.stack([s["patch_masks"] for s in samples])
+        if "text_region_embedding" in samples[0]:
+            batch["text_region_embedding"] = np.stack(
+                [s["text_region_embedding"] for s in samples])
+        if "pseudo_labels" in samples[0]:
+            batch["pseudo_labels"] = np.stack([s["pseudo_labels"] for s in samples])
+        if "tag_class_ids" in samples[0] and self.tag_token_lens is not None:
+            ids = np.stack([s["tag_class_ids"] for s in samples])  # (B, O), -1 pad
+            lens = np.where(ids >= 0, self.tag_token_lens[np.clip(ids, 0, None)], 0)
+            batch["object_token_masks"] = np.cumsum(lens, axis=1).astype(np.int32)
+        batch["meta"] = [s["meta"] for s in samples]
+        return batch
+
+
+def build_tag_token_lens(tokenizer: WordPieceTokenizer, vocab_names: Sequence[str]) -> np.ndarray:
+    """Token length of each object class tag (' name' as appended to captions) —
+    the reference precomputes this as objects_vocab_token_len.txt."""
+    return np.asarray([tokenizer.token_length(n) for n in vocab_names], np.int32)
+
+
+class ShardedLoader:
+    """Iterable over collated batches of one shard of a dataset.
+
+    n_samples/batch_size/dataset_name mirror the reference loader attributes the
+    trainer reads (base_data_loader.py / data_loader.py facade)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate: Callable,
+        shuffle: bool = True,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+        prefetch_batches: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self.epoch = 0
+
+    # reference API surface
+    @property
+    def n_samples(self) -> int:
+        return len(self.dataset)
+
+    @property
+    def dataset_name(self) -> str:
+        return getattr(self.dataset, "dataset_name", type(self.dataset).__name__)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        if self.drop_last:
+            per = n // self.num_shards
+            order = order[: per * self.num_shards]
+        return order[self.shard_id:: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idxs = self._epoch_indices()
+        if self.drop_last:
+            idxs = idxs[: (len(idxs) // self.batch_size) * self.batch_size]
+
+        def fetch(i):
+            rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            return self.dataset.get_sample(int(i), rng)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.prefetch_batches * self.batch_size
+            futures = {}
+            out_pos = 0
+            submit_pos = 0
+
+            def top_up():
+                nonlocal submit_pos
+                while submit_pos < len(idxs) and submit_pos - out_pos < window:
+                    futures[submit_pos] = pool.submit(fetch, idxs[submit_pos])
+                    submit_pos += 1
+
+            top_up()
+            batch_buf: List[Dict[str, Any]] = []
+            while out_pos < len(idxs):
+                sample = futures.pop(out_pos).result()
+                out_pos += 1
+                top_up()
+                batch_buf.append(sample)
+                if len(batch_buf) == self.batch_size:
+                    yield self.collate(batch_buf)
+                    batch_buf = []
+            if batch_buf and not self.drop_last:
+                yield self.collate(batch_buf)
+
+
+class MultiLoader:
+    """Round-robin alternation over loaders; each yield is (loader_index, batch).
+    Length = shortest loader × number of loaders (reference zip semantics)."""
+
+    def __init__(self, loaders: Sequence[ShardedLoader]):
+        self.loaders = list(loaders)
+
+    def set_epoch(self, epoch: int) -> None:
+        for l in self.loaders:
+            l.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return min(len(l) for l in self.loaders) * len(self.loaders)
+
+    def __iter__(self):
+        its = [iter(l) for l in self.loaders]
+        while True:
+            batches = []
+            try:
+                for it in its:
+                    batches.append(next(it))
+            except StopIteration:
+                return
+            for i, b in enumerate(batches):
+                yield i, b
+
+
+def device_prefetch(iterator, mesh=None, depth: int = 2):
+    """Move numpy batches onto the mesh ahead of consumption (double-buffered).
+    Strings/metadata stay on host."""
+    import jax
+
+    from oatx.parallel.mesh import batch_sharding
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def put(batch):
+        def _put(x):
+            if isinstance(x, np.ndarray) and x.dtype != object:
+                return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+            return x
+        out = {}
+        for k, v in batch.items():
+            out[k] = v if k == "meta" else _put(v)
+        return out
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                if isinstance(item, tuple):  # MultiLoader (idx, batch)
+                    q.put((item[0], put(item[1])))
+                else:
+                    q.put(put(item))
+            q.put(END)
+        except BaseException as e:  # propagate errors to consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -162,23 +162,25 @@ def forward_global_local(
     """Global-local OA forward (oa_model_global_local.py:149-208).
 
     batch keys: input_ids/attention_mask (caption), pad_input_ids/pad_attention_mask
-    (caption+tags), video (B, 2·F, H, W, C) with object frame interleaved at even
-    positions, patch_masks (B, O, N), object_token_masks (B, O) cumulative tag-token
-    ends.
+    (caption+tags), video (B, F, H, W, C), object_frame (B, 1, H, W, C),
+    patch_masks (B, O, N_frame) over the object frame's patches,
+    object_token_masks (B, O) cumulative tag-token ends.
+
+    NOTE: the reference prepends the object frame to the clip tensor and splits it
+    back with a view(B·2, F/2) reshape (oa_model_global_local.py:155-159), which
+    only round-trips for even frame counts and leaks clip frames into the "object"
+    stream. oatx keeps the two streams explicit — the object frame goes through the
+    shared tower as a 1-frame image (the F=1 degenerate path used for CC3M).
     """
     text_embeds, text_tokens = compute_text(
         params, cfg, batch["input_ids"], batch.get("attention_mask"), return_tokens=True)
     pad_text_embeds, pad_text_tokens = compute_text(
         params, cfg, batch["pad_input_ids"], batch.get("pad_attention_mask"), return_tokens=True)
 
-    video = batch["video"]
-    b, two_f = video.shape[0], video.shape[1]
-    # interleaved (object frame, clip frame) pairs → fold pair index into batch
-    v = video.reshape(b * 2, two_f // 2, *video.shape[2:])
-    vout = compute_video(params, cfg, v)
-    cls, patches = vout["cls"], vout["patches"]
-    object_img_embeds, object_region = cls[0::2], patches[0::2]
-    video_embeds, video_region = cls[1::2], patches[1::2]
+    vout = compute_video(params, cfg, batch["video"])
+    oout = compute_video(params, cfg, batch["object_frame"])
+    video_embeds = vout["cls"]
+    object_img_embeds, object_region = oout["cls"], oout["patches"]
 
     # patch-mask pooling of object-frame regions (sum over patches; reference einsum)
     patch_masks = batch["patch_masks"].astype(object_region.dtype)   # (B, O, N)
@@ -206,23 +208,20 @@ def forward_region_mem(
 ) -> Dict[str, jnp.ndarray]:
     """Region-memory forward (oa_model_region_mem.py:105-151).
 
-    batch keys: input_ids/attention_mask, video (B, 2·F, ...) interleaved object
-    frame/clip, text_region_embedding (B, K, region_embed_dim) CLIP memory rows.
+    batch keys: input_ids/attention_mask, video (B, F, ...), object_frame
+    (B, 1, ...), text_region_embedding (B, K, region_embed_dim) CLIP memory rows.
     Returns text/video embeds and region_sim *logits* (B, K, N) — apply sigmoid for
-    probabilities; the BCE loss uses the logits directly for stability.
+    probabilities; the BCE loss uses the logits directly for stability. (Object
+    frame as an explicit stream — see forward_global_local note.)
     """
     text_embeds = compute_text(params, cfg, batch["input_ids"], batch.get("attention_mask"))
 
-    video = batch["video"]
-    b = video.shape[0]
-    v = video.reshape(b * 2, video.shape[1] // 2, *video.shape[2:])
-    vout = compute_video(params, cfg, v)
+    vout = compute_video(params, cfg, batch["video"])
+    oout = compute_video(params, cfg, batch["object_frame"])
     # region features: layer-K tap through region_norm, then the SHARED vid_proj
-    region_proj = linear(params["vid_proj"], vout["region"].astype(jnp.float32))
-    cls = vout["cls"]
-    object_region = region_proj[0::2]
-    video_cls, video_region = cls[1::2], region_proj[1::2]
-    video_embeds = (video_cls + jnp.mean(video_region, axis=1)) / 2.0
+    object_region = linear(params["vid_proj"], oout["region"].astype(jnp.float32))
+    video_region = linear(params["vid_proj"], vout["region"].astype(jnp.float32))
+    video_embeds = (vout["cls"] + jnp.mean(video_region, axis=1)) / 2.0
 
     text_region = linear(params["txt_proj_2"], batch["text_region_embedding"].astype(jnp.float32))
     region_sim_logits = jnp.einsum("bkf,bnf->bkn", text_region, object_region,

@@ -1,0 +1,295 @@
+// oatx_decode — first-party video decode library (FFmpeg/libav).
+//
+// TPU-native replacement for the reference's OpenCV/decord/PyAV readers
+// (/root/reference/OATrans/base/base_dataset.py:503-552 behavior): probe a
+// container for frame count, then decode an arbitrary list of frame indices to
+// packed RGB24, optionally resizing so the short side equals a target (the
+// device-side augmentation pipeline takes over from there). Designed for
+// many-worker host pipelines: no global state, one cheap context per call,
+// errors returned as codes (callers resample/skip — "lax" loading).
+//
+// Also includes a tiny MJPEG/AVI test-clip writer so the framework can
+// synthesize fixture videos hermetically (no ffmpeg CLI in the image).
+//
+// C ABI for ctypes. Build: see oatx/native/Makefile.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct LogQuiet {
+  LogQuiet() { av_log_set_level(AV_LOG_ERROR); }
+} log_quiet_init;
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_index = -1;
+  int64_t nframes = 0;   // best-effort frame count
+  double fps = 0.0;
+  int width = 0, height = 0;
+
+  ~Decoder() {
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+};
+
+int open_decoder(const char* path, Decoder* d) {
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) return -2;
+  d->stream_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (d->stream_index < 0) return -3;
+  AVStream* st = d->fmt->streams[d->stream_index];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  if (!dec) return -4;
+  d->codec = avcodec_alloc_context3(dec);
+  if (!d->codec) return -5;
+  if (avcodec_parameters_to_context(d->codec, st->codecpar) < 0) return -6;
+  d->codec->thread_count = 1;  // parallelism lives at the worker level
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) return -7;
+
+  d->width = d->codec->width;
+  d->height = d->codec->height;
+  AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  d->fps = fr.den ? av_q2d(fr) : 0.0;
+  d->nframes = st->nb_frames;
+  if (d->nframes <= 0 && d->fps > 0 && d->fmt->duration > 0) {
+    d->nframes = (int64_t)(d->fmt->duration * d->fps / AV_TIME_BASE);
+  }
+  return 0;
+}
+
+// Decode sequentially, invoking `cb` with (frame_index, AVFrame*). Stops after
+// max_index has been delivered. Returns count of frames delivered to cb.
+template <typename F>
+int64_t scan_decode(Decoder* d, int64_t max_index, F&& cb) {
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t idx = 0;
+  bool done = false;
+  while (!done && av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index) {
+      if (avcodec_send_packet(d->codec, pkt) == 0) {
+        while (avcodec_receive_frame(d->codec, frame) == 0) {
+          cb(idx, frame);
+          if (++idx > max_index) { done = true; break; }
+        }
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  if (!done) {  // flush
+    avcodec_send_packet(d->codec, nullptr);
+    while (avcodec_receive_frame(d->codec, frame) == 0) {
+      cb(idx, frame);
+      if (++idx > max_index) break;
+    }
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return idx;
+}
+
+void compute_out_size(int w, int h, int short_side, int* ow, int* oh) {
+  if (short_side <= 0) { *ow = w; *oh = h; return; }
+  if (w <= h) {
+    *ow = short_side;
+    *oh = (int)((int64_t)h * short_side / w);
+  } else {
+    *oh = short_side;
+    *ow = (int)((int64_t)w * short_side / h);
+  }
+  *ow &= ~1;  // keep even for swscale friendliness
+  *oh &= ~1;
+  if (*ow == 0) *ow = 2;
+  if (*oh == 0) *oh = 2;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe: returns 0 on success; fills nframes/fps/width/height.
+int oatx_probe(const char* path, int64_t* nframes, double* fps, int* width,
+               int* height) {
+  Decoder d;
+  int rc = open_decoder(path, &d);
+  if (rc != 0) return rc;
+  // nb_frames can be 0 for some containers; count via packets as fallback.
+  if (d.nframes <= 0) {
+    AVPacket* pkt = av_packet_alloc();
+    int64_t count = 0;
+    while (av_read_frame(d.fmt, pkt) >= 0) {
+      if (pkt->stream_index == d.stream_index) count++;
+      av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+    d.nframes = count;
+  }
+  *nframes = d.nframes;
+  *fps = d.fps;
+  *width = d.width;
+  *height = d.height;
+  return 0;
+}
+
+// Output size for a given short-side resize policy (call before decode to size
+// the buffer). Returns 0 on success.
+int oatx_out_size(const char* path, int short_side, int* out_w, int* out_h) {
+  Decoder d;
+  int rc = open_decoder(path, &d);
+  if (rc != 0) return rc;
+  compute_out_size(d.width, d.height, short_side, out_w, out_h);
+  return 0;
+}
+
+// Decode the given sorted-or-not frame indices into out (n * out_h * out_w * 3,
+// RGB24, row-major). Duplicate indices allowed. Indices beyond the stream get
+// the last decoded frame (lax). Returns number of filled frames, or <0 error.
+int oatx_decode_indices(const char* path, const int64_t* indices, int n,
+                        int short_side, uint8_t* out, int out_w, int out_h) {
+  if (n <= 0) return 0;
+  Decoder d;
+  int rc = open_decoder(path, &d);
+  if (rc != 0) return rc;
+
+  int ow, oh;
+  compute_out_size(d.width, d.height, short_side, &ow, &oh);
+  if (ow != out_w || oh != out_h) return -100;  // caller sized buffer wrong
+
+  std::vector<int64_t> sorted(indices, indices + n);
+  std::sort(sorted.begin(), sorted.end());
+  int64_t max_index = sorted.back();
+
+  SwsContext* sws =
+      sws_getContext(d.width, d.height, d.codec->pix_fmt, ow, oh,
+                     AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!sws) return -101;
+
+  const size_t frame_bytes = (size_t)ow * oh * 3;
+  std::vector<uint8_t> last(frame_bytes, 0);
+  std::vector<uint8_t> rgb(frame_bytes);
+  std::vector<bool> slot_filled(n, false);
+  bool have_any = false;
+
+  scan_decode(&d, max_index, [&](int64_t idx, AVFrame* frame) {
+    // decode every frame we pass (sequential scan); keep it if any slot wants
+    // it, and always remember it as `last` for lax end-of-stream fill.
+    uint8_t* dst[1] = {rgb.data()};
+    int dst_stride[1] = {ow * 3};
+    sws_scale(sws, frame->data, frame->linesize, 0, d.height, dst, dst_stride);
+    last.assign(rgb.begin(), rgb.end());
+    have_any = true;
+    for (int j = 0; j < n; j++) {
+      if (indices[j] == idx) {
+        std::memcpy(out + (size_t)j * frame_bytes, rgb.data(), frame_bytes);
+        slot_filled[j] = true;
+      }
+    }
+  });
+
+  sws_freeContext(sws);
+  if (!have_any) return -102;
+
+  // lax fill: indices beyond the stream get the last decoded frame
+  int filled = 0;
+  for (int j = 0; j < n; j++) {
+    if (!slot_filled[j]) {
+      std::memcpy(out + (size_t)j * frame_bytes, last.data(), frame_bytes);
+    }
+    filled++;
+  }
+  return filled;
+}
+
+// ---------------------------------------------------------------- test writer
+
+// Write a synthetic MJPEG/AVI clip (n solid-ish frames with a moving gradient,
+// frame index encoded in the top-left 8x8 block brightness). For fixtures only.
+int oatx_write_test_video(const char* path, int width, int height, int n,
+                          int fps) {
+  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MJPEG);
+  if (!enc) return -1;
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, "avi", path) < 0) return -2;
+  AVStream* st = avformat_new_stream(fmt, enc);
+  AVCodecContext* c = avcodec_alloc_context3(enc);
+  c->width = width;
+  c->height = height;
+  c->pix_fmt = AV_PIX_FMT_YUVJ420P;
+  c->time_base = {1, fps};
+  c->flags |= AV_CODEC_FLAG_QSCALE;
+  c->global_quality = FF_QP2LAMBDA * 2;
+  if (avcodec_open2(c, enc, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) return -5;
+
+  AVFrame* frame = av_frame_alloc();
+  frame->format = c->pix_fmt;
+  frame->width = width;
+  frame->height = height;
+  av_frame_get_buffer(frame, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  for (int i = 0; i < n; i++) {
+    av_frame_make_writable(frame);
+    for (int y = 0; y < height; y++)
+      for (int x = 0; x < width; x++)
+        frame->data[0][y * frame->linesize[0] + x] =
+            (uint8_t)((x + y + i * 16) & 0xFF);
+    // stamp frame index into an 8x8 flat block (survives JPEG)
+    for (int y = 0; y < 8 && y < height; y++)
+      for (int x = 0; x < 8 && x < width; x++)
+        frame->data[0][y * frame->linesize[0] + x] =
+            (uint8_t)std::min(255, 16 + i * 8);
+    for (int y = 0; y < height / 2; y++)
+      for (int x = 0; x < width / 2; x++) {
+        frame->data[1][y * frame->linesize[1] + x] = 128;
+        frame->data[2][y * frame->linesize[2] + x] = 128;
+      }
+    frame->pts = i;
+    frame->quality = c->global_quality;
+    if (avcodec_send_frame(c, frame) == 0) {
+      while (avcodec_receive_packet(c, pkt) == 0) {
+        av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        av_interleaved_write_frame(fmt, pkt);
+        av_packet_unref(pkt);
+      }
+    }
+  }
+  avcodec_send_frame(c, nullptr);
+  while (avcodec_receive_packet(c, pkt) == 0) {
+    av_packet_rescale_ts(pkt, c->time_base, st->time_base);
+    pkt->stream_index = st->index;
+    av_interleaved_write_frame(fmt, pkt);
+    av_packet_unref(pkt);
+  }
+  av_write_trailer(fmt);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  avcodec_free_context(&c);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return 0;
+}
+
+const char* oatx_version() { return "oatx_decode 0.1 (" LIBAVCODEC_IDENT ")"; }
+
+}  // extern "C"

@@ -1,0 +1,92 @@
+import json
+import os
+
+import pytest
+
+from oatx.config.parser import load_experiment
+from oatx.config.registry import METRICS, Registry
+from oatx.config.schema import ExperimentCfg, build_tower_config
+
+REF_CONFIG = "/root/reference/OATrans/configs/pt/cc3m_webvid/norm.json"
+
+
+def test_own_configs_parse():
+    for p in (
+        "configs/pt/cc3m_webvid/norm.json",
+        "configs/pt/cc3m_webvid/local_region_loss.json",
+        "configs/pt/webvid/region_mem.json",
+        "configs/ft/msrvtt/fine_tune/normal_1_cl.json",
+        "configs/ft/msrvtt/zsl/normal.json",
+    ):
+        cfg = ExperimentCfg.from_json(os.path.join("/root/repo", p))
+        assert cfg.arch.type == "FrozenInTime"
+        assert len(cfg.data_loaders) >= 1
+        tc = build_tower_config(cfg.arch)
+        assert tc.projection_dim == 256
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CONFIG), reason="reference unavailable")
+def test_reference_config_parses_unchanged():
+    """The reference's own JSON files must load without modification."""
+    cfg = ExperimentCfg.from_json(REF_CONFIG)
+    assert cfg.name == "full-cc-WebVid2M-1f-pti2k-normal"
+    assert cfg.n_gpu == 8
+    assert len(cfg.data_loaders) == 2
+    assert cfg.data_loaders[0].dataset_name == "ConceptualCaptions3M"
+    assert cfg.data_loaders[0].num_frames == 1
+    assert cfg.data_loaders[1].dataset_name == "WebVid"
+    assert cfg.data_loaders[1].num_frames == 4
+    assert cfg.data_loaders[1].cut == "2M"
+    assert cfg.data_loaders[1].loading == "lax"
+    assert cfg.optimizer.lr == 2e-4
+    assert cfg.loss.type == "NormSoftmaxLoss"
+    assert cfg.trainer.max_samples_per_epoch == 1_000_000
+    assert cfg.trainer.monitor == "min val_loss_0"
+    assert cfg.trainer.init_val is True
+    tc = build_tower_config(cfg.arch)
+    assert tc.video.num_frames == 4
+    assert tc.variant == "baseline"
+
+
+def test_cli_overrides(tmp_path):
+    cfgfile = tmp_path / "c.json"
+    with open("/root/repo/configs/pt/cc3m_webvid/norm.json") as f:
+        raw = json.load(f)
+    raw["trainer"]["save_dir"] = str(tmp_path / "exps")
+    cfgfile.write_text(json.dumps(raw))
+    exp = load_experiment(
+        ["-c", str(cfgfile), "--lr", "0.001", "--bs", "4"], test=False
+    )
+    assert exp.cfg.optimizer.lr == 0.001
+    assert all(dl.batch_size == 4 for dl in exp.cfg.data_loaders)
+    # experiment dirs created + config snapshot written
+    assert exp.save_dir.exists()
+    assert (exp.save_dir / "config.json").exists()
+    snap = json.loads((exp.save_dir / "config.json").read_text())
+    assert snap["optimizer"]["args"]["lr"] == 0.001
+
+
+def test_config_required():
+    with pytest.raises(SystemExit):
+        load_experiment([], test=True)
+
+
+def test_registry_errors():
+    r = Registry("thing")
+    r.add("a", 1)
+    with pytest.raises(KeyError) as e:
+        r.get("b")
+    assert "registered: a" in str(e.value)
+    assert "t2v_metrics" in METRICS.names()
+
+
+def test_resume_reads_snapshot(tmp_path):
+    with open("/root/repo/configs/ft/msrvtt/zsl/normal.json") as f:
+        raw = json.load(f)
+    ckpt_dir = tmp_path / "run"
+    ckpt_dir.mkdir()
+    (ckpt_dir / "config.json").write_text(json.dumps(raw))
+    (ckpt_dir / "ckpt-5").write_text("")
+    exp = load_experiment(["-r", str(ckpt_dir / "ckpt-5")], test=True)
+    assert exp.resume is not None
+    assert exp.cfg.name == raw["name"]

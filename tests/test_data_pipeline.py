@@ -1,0 +1,160 @@
+import os
+
+import numpy as np
+import pytest
+
+from oatx.config.schema import DataLoaderCfg, ExperimentCfg
+from oatx.data.factory import build_dataset, build_loaders
+from oatx.data.loader import Collator, MultiLoader, ShardedLoader
+from oatx.data.tokenizer import WordPieceTokenizer
+
+
+@pytest.fixture(scope="module")
+def synth_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return DataLoaderCfg(
+        type="TextVideoDataLoader",
+        dataset_name="SyntheticVideoText",
+        data_dir=str(root / "videos"),
+        object_dir=str(root / "objects"),
+        batch_size=4,
+        num_workers=4,
+        split="train",
+        video_params={"input_res": 224, "num_frames": 4, "num_videos": 12, "loading": "lax"},
+    )
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    corpus = [f"a dog runs in scene {i}" for i in range(20)] + [
+        "cat jumps", "car moves", "tree stands", "person plays", "bird sits",
+        "boat", "horse",
+    ]
+    return WordPieceTokenizer.build_from_corpus(corpus, vocab_size=512)
+
+
+def test_synthetic_dataset_sample(synth_cfg):
+    ds = build_dataset(synth_cfg, variant="baseline")
+    assert len(ds) == 12
+    s = ds.get_sample(0, np.random.default_rng(0))
+    assert s["video"].shape == (4, 256, 256, 3)
+    assert s["video"].dtype == np.uint8
+    assert isinstance(s["text"], str)
+    assert s["meta"]["dataset"] == "SyntheticVideoText"
+
+
+def test_sample_determinism(synth_cfg):
+    ds = build_dataset(synth_cfg, variant="baseline")
+    a = ds.get_sample(3, np.random.default_rng(7))
+    b = ds.get_sample(3, np.random.default_rng(7))
+    np.testing.assert_array_equal(a["video"], b["video"])
+
+
+def test_global_local_sample(synth_cfg):
+    ds = build_dataset(synth_cfg, variant="global_local")
+    s = ds.get_sample(1, np.random.default_rng(0))
+    assert "pad_text" in s and len(s["pad_text"]) > len(s["text"])
+    assert s["object_frame"].shape == (1, 256, 256, 3)
+    assert s["patch_masks"].shape[1] == 196
+    assert s["tag_class_ids"].shape == (20,)
+
+
+def test_region_mem_sample(synth_cfg):
+    from oatx.data.objects import RegionMemoryBank
+
+    bank = RegionMemoryBank(np.random.default_rng(0).standard_normal((1600, 512)).astype(np.float32))
+    ds = build_dataset(synth_cfg, variant="region_mem", region_bank=bank)
+    s = ds.get_sample(2, np.random.default_rng(0))
+    assert s["patch_masks"].shape == (5, 196)
+    assert s["text_region_embedding"].shape == (5, 512)
+    assert s["object_frame"].shape == (1, 256, 256, 3)
+
+
+def test_sharded_loader_partitions(synth_cfg, tokenizer):
+    ds = build_dataset(synth_cfg, variant="baseline")
+    col = Collator(tokenizer)
+    seen = []
+    for shard in range(2):
+        loader = ShardedLoader(ds, batch_size=2, collate=col, shuffle=True,
+                               shard_id=shard, num_shards=2, num_workers=2, seed=1)
+        loader.set_epoch(0)
+        for batch in loader:
+            assert batch["video"].shape == (2, 4, 256, 256, 3)
+            assert batch["input_ids"].shape[0] == 2
+            seen.extend(m["index"] for m in batch["meta"])
+    assert len(seen) == 12
+    assert len(set(seen)) == 12  # shards disjoint, full coverage
+
+
+def test_loader_epoch_reshuffles(synth_cfg, tokenizer):
+    ds = build_dataset(synth_cfg, variant="baseline")
+    loader = ShardedLoader(ds, batch_size=4, collate=Collator(tokenizer),
+                           shuffle=True, num_workers=2, seed=1)
+    loader.set_epoch(0)
+    e0 = [m["index"] for b in loader for m in b["meta"]]
+    loader.set_epoch(1)
+    e1 = [m["index"] for b in loader for m in b["meta"]]
+    assert e0 != e1 and sorted(e0) == sorted(e1)
+
+
+def test_multi_loader_alternates(synth_cfg, tokenizer):
+    ds = build_dataset(synth_cfg, variant="baseline")
+    col = Collator(tokenizer)
+    l1 = ShardedLoader(ds, batch_size=2, collate=col, num_workers=2)
+    l2 = ShardedLoader(ds, batch_size=3, collate=col, num_workers=2)
+    ml = MultiLoader([l1, l2])
+    order = [i for i, _ in ml]
+    assert order[:6] == [0, 1, 0, 1, 0, 1]
+    assert len(order) == len(ml)
+
+
+def test_lax_loading_recovers(synth_cfg, tokenizer, tmp_path):
+    """A corrupt video must be substituted, not crash (lax mode)."""
+    ds = build_dataset(synth_cfg, variant="baseline")
+    # corrupt one clip
+    victim = os.path.join(synth_cfg.data_dir, "clip0005.avi")
+    with open(victim, "wb") as f:
+        f.write(b"not a video at all")
+    try:
+        s = ds.get_sample(5, np.random.default_rng(0))
+        assert s["video"].shape == (4, 256, 256, 3)  # substituted sample
+    finally:
+        os.remove(victim)
+        ds.metadata and None
+
+
+def test_strict_loading_raises(synth_cfg):
+    import dataclasses
+
+    strict_cfg = dataclasses.replace(
+        synth_cfg,
+        video_params={**synth_cfg.video_params, "loading": "strict"})
+    ds = build_dataset(strict_cfg, variant="baseline")
+    victim = os.path.join(synth_cfg.data_dir, "clip0007.avi")
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(b"garbage")
+    try:
+        with pytest.raises(ValueError, match="strict"):
+            ds.get_sample(7, np.random.default_rng(0))
+    finally:
+        with open(victim, "wb") as f:
+            f.write(data)
+
+
+def test_build_loaders_from_experiment(synth_cfg, tokenizer):
+    exp = ExperimentCfg.from_dict({
+        "name": "t", "arch": {"variant": "baseline", "args": {}},
+        "data_loader": [
+            {"type": "x", "args": {
+                "dataset_name": "SyntheticVideoText",
+                "data_dir": synth_cfg.data_dir, "object_dir": synth_cfg.object_dir,
+                "batch_size": 2, "num_workers": 2, "split": "train",
+                "video_params": {"num_frames": 2, "num_videos": 12},
+            }},
+        ],
+    })
+    loaders = build_loaders(exp, tokenizer)
+    assert len(loaders) == 1
+    b = next(iter(loaders[0]))
+    assert b["video"].shape == (2, 2, 256, 256, 3)

@@ -67,12 +67,13 @@ def test_global_local_forward(rng):
     B, O, F = 2, 4, 2
     N = 4  # 32/16 = 2 → 4 patches per frame
     batch = {
-        "video": jnp.array(rng.standard_normal((B, 2 * F, 32, 32, 3)), jnp.float32),
+        "video": jnp.array(rng.standard_normal((B, F, 32, 32, 3)), jnp.float32),
+        "object_frame": jnp.array(rng.standard_normal((B, 1, 32, 32, 3)), jnp.float32),
         "input_ids": jnp.array(rng.integers(0, 100, (B, 8))),
         "attention_mask": jnp.ones((B, 8), jnp.int32),
         "pad_input_ids": jnp.array(rng.integers(0, 100, (B, 16))),
         "pad_attention_mask": jnp.ones((B, 16), jnp.int32),
-        "patch_masks": jnp.array(rng.uniform(size=(B, O, F * N)) > 0.5, jnp.float32),
+        "patch_masks": jnp.array(rng.uniform(size=(B, O, N)) > 0.5, jnp.float32),
         "object_token_masks": jnp.array(np.cumsum(rng.integers(1, 3, (B, O)), axis=1)),
     }
     out = towers.forward(params, cfg, batch)
@@ -100,7 +101,8 @@ def test_region_mem_forward(rng):
     params = towers.init(jax.random.PRNGKey(0), cfg)
     B, K, F, N = 2, 5, 2, 4
     batch = {
-        "video": jnp.array(rng.standard_normal((B, 2 * F, 32, 32, 3)), jnp.float32),
+        "video": jnp.array(rng.standard_normal((B, F, 32, 32, 3)), jnp.float32),
+        "object_frame": jnp.array(rng.standard_normal((B, 1, 32, 32, 3)), jnp.float32),
         "input_ids": jnp.array(rng.integers(0, 100, (B, 8))),
         "attention_mask": jnp.ones((B, 8), jnp.int32),
         "text_region_embedding": jnp.array(rng.standard_normal((B, K, 512)), jnp.float32),
@@ -108,7 +110,7 @@ def test_region_mem_forward(rng):
     out = towers.forward(params, cfg, batch)
     assert out["text_embeds"].shape == (B, 16)
     assert out["video_embeds"].shape == (B, 16)
-    assert out["region_sim_logits"].shape == (B, K, F * N)
+    assert out["region_sim_logits"].shape == (B, K, N)
 
 
 def test_forward_jits(rng):
