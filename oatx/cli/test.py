@@ -1,0 +1,77 @@
+"""Retrieval eval entry point (reference test.py equivalent).
+
+    python -m oatx.cli.test -c configs/ft/msrvtt/zsl/normal.json \
+        [--sliding_window_stride 8] [--split test] [-r <oatx checkpoint>]
+
+Loads weights from -r (oatx snapshot) or arch.load_checkpoint (torch .pth or
+snapshot), embeds the eval split, applies sliding-window temporal ensembling
+when requested, prints t2v/v2t retrieval metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Optional, Sequence
+
+import jax
+
+from oatx.cli.common import dataset_captions, resolve_tokenizer
+from oatx.config.parser import load_experiment
+from oatx.config.schema import build_tower_config
+from oatx.data.factory import build_dataset, build_loaders, load_region_bank
+from oatx.data.loader import Collator, ShardedLoader
+from oatx.eval.retrieval_eval import evaluate
+from oatx.parallel import mesh as meshlib
+from oatx.parallel import sharding as shardlib
+from oatx.train import checkpoint as ckptlib
+from oatx.train.trainer import verbose
+from oatx.utils.logging import setup_logging
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    exp = load_experiment(argv, test=True)
+    logger = setup_logging(None, "oatx.test", exp.cfg.trainer.verbosity)
+    split = exp.args.split or "test"
+    stride = exp.args.sliding_window_stride
+
+    import jax.numpy as jnp
+
+    tower_cfg = build_tower_config(
+        exp.cfg.arch,
+        compute_dtype=jnp.bfloat16 if exp.cfg.trainer.precision == "bf16" else jnp.float32)
+    mesh = meshlib.make_mesh(model_parallel=exp.cfg.trainer.model_parallel)
+
+    from oatx.models import towers
+
+    params = towers.init(jax.random.PRNGKey(0), tower_cfg)
+    ckpt = str(exp.resume) if exp.resume else exp.cfg.arch.load_checkpoint
+    if ckpt:
+        logger.info("loading weights from %s", ckpt)
+        params = ckptlib.import_initial_weights(ckpt, tower_cfg, params)
+    else:
+        logger.warning("no checkpoint given — evaluating RANDOM weights")
+    params = shardlib.shard_params(mesh, params)
+
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg, split))
+    dl = exp.cfg.data_loaders[0]
+    ds = build_dataset(dl, exp.cfg.arch.variant, split,
+                       load_region_bank(exp.cfg), seed=exp.cfg.trainer.seed)
+    if stride != -1:
+        logger.info("sliding-window ensembling, stride %d", stride)
+        ds.expand_sliding_windows(stride)
+    loader = ShardedLoader(
+        ds, batch_size=dl.batch_size, collate=Collator(tokenizer),
+        shuffle=False, drop_last=False, num_workers=dl.num_workers)
+
+    result = evaluate(params, tower_cfg, loader, exp.cfg.metrics, mesh)
+    for name, m in result.metrics.items():
+        short = {"t2v_metrics": "t2v", "v2t_metrics": "v2t"}.get(name, name)
+        logger.info(verbose(0, m, ds.dataset_name, short))
+    print(json.dumps({n: {k: round(float(v), 3) for k, v in m.items()}
+                      for n, m in result.metrics.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,57 @@
+"""Training entry point (reference train.py / train_dist_multi.py /
+train_dist_multi_global_local.py / train_dist_region_mem.py unified — the model
+variant comes from the config's arch.variant instead of separate scripts).
+
+    python -m oatx.cli.train -c configs/pt/cc3m_webvid/norm.json [--lr ... --bs ...]
+    python -m oatx.cli.train -r exps/.../checkpoint-epoch5        # resume
+
+Single-program: run once per host (multi-host TPU pods initialize
+jax.distributed automatically under the TPU runtime); the mesh spans all
+devices and the loader shards by process index.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional, Sequence
+
+import jax
+
+from oatx.config.parser import load_experiment
+from oatx.cli.common import dataset_captions, resolve_tokenizer
+from oatx.data.factory import build_loaders
+from oatx.train.trainer import Trainer
+from oatx.utils.logging import setup_logging
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    exp = load_experiment(argv)
+    logger = setup_logging(exp.log_dir, "oatx", exp.cfg.trainer.verbosity)
+    logger.info("experiment %s → %s", exp.cfg.name, exp.save_dir)
+    logger.info("devices: %s", jax.devices())
+
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg))
+    shard_id, num_shards = jax.process_index(), jax.process_count()
+    train_loaders = build_loaders(
+        exp.cfg, tokenizer, split="train",
+        shard_id=shard_id, num_shards=num_shards, seed=exp.cfg.trainer.seed)
+    try:
+        valid_loaders = build_loaders(
+            exp.cfg, tokenizer, split="val",
+            shard_id=shard_id, num_shards=num_shards, seed=exp.cfg.trainer.seed)
+    except Exception as e:  # no validation split available
+        logger.info("no validation loaders (%s)", e)
+        valid_loaders = []
+
+    trainer = Trainer(
+        exp.cfg, train_loaders, valid_loaders,
+        save_dir=exp.save_dir, log_dir=exp.log_dir,
+        linear_eval=bool(getattr(exp.args, "linear_eval", False)),
+        resume=str(exp.resume) if exp.resume else None,
+    )
+    trainer.train()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,6 +41,11 @@ class VideoParamsCfg:
     time_init: str = "zeros"
     two_outputs: bool = False
     input_res: int = 224
+    # optional explicit dims (smoke/hermetic runs); None → from arch_config
+    embed_dim: Optional[int] = None
+    depth: Optional[int] = None
+    num_heads: Optional[int] = None
+    remat: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "VideoParamsCfg":
@@ -52,6 +57,10 @@ class VideoParamsCfg:
             time_init=_get(d, "time_init", "zeros"),
             two_outputs=bool(_get(d, "two_outputs", False)),
             input_res=int(_get(d, "input_res", 224)),
+            embed_dim=d.get("embed_dim"),
+            depth=d.get("depth"),
+            num_heads=d.get("num_heads"),
+            remat=bool(_get(d, "remat", False)),
         )
 
 
@@ -62,6 +71,12 @@ class TextParamsCfg:
     input: str = "text"
     two_outputs: bool = False
     object_tags: bool = False
+    # optional explicit dims (smoke/hermetic runs)
+    vocab_size: Optional[int] = None
+    dim: Optional[int] = None
+    hidden_dim: Optional[int] = None
+    n_layers: Optional[int] = None
+    n_heads: Optional[int] = None
 
     @property
     def family(self) -> str:
@@ -82,6 +97,11 @@ class TextParamsCfg:
             input=_get(d, "input", "text"),
             two_outputs=bool(_get(d, "two_outputs", False)),
             object_tags=bool(_get(d, "object_tags", False)),
+            vocab_size=d.get("vocab_size"),
+            dim=d.get("dim"),
+            hidden_dim=d.get("hidden_dim"),
+            n_layers=d.get("n_layers"),
+            n_heads=d.get("n_heads"),
         )
 
 
@@ -280,21 +300,41 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
 
     if arch.video_params.model != "SpaceTimeTransformer":
         raise NotImplementedError(f"video model {arch.video_params.model!r}")
-    if arch.video_params.arch_config != "base_patch16_224":
-        raise NotImplementedError(f"arch_config {arch.video_params.arch_config!r}")
     if arch.text_params.family not in ("distilbert",):
         raise NotImplementedError(f"text model family {arch.text_params.family!r}")
 
+    ARCH_TABLE = {  # arch_config → (embed_dim, depth, num_heads, patch)
+        "base_patch16_224": (768, 12, 12, 16),
+        "small_patch16_224": (384, 12, 6, 16),
+        "tiny_patch16_224": (192, 12, 3, 16),
+    }
+    if arch.video_params.arch_config not in ARCH_TABLE:
+        raise NotImplementedError(f"arch_config {arch.video_params.arch_config!r}")
+    embed_dim, depth, heads, patch = ARCH_TABLE[arch.video_params.arch_config]
+    vp = arch.video_params
     video = vst.SpaceTimeViTConfig(
-        img_size=arch.video_params.input_res,
-        num_frames=arch.video_params.num_frames,
-        time_init=arch.video_params.time_init,
+        img_size=vp.input_res,
+        patch_size=patch,
+        embed_dim=vp.embed_dim or embed_dim,
+        depth=vp.depth or depth,
+        num_heads=vp.num_heads or heads,
+        num_frames=vp.num_frames,
+        time_init=vp.time_init,
+        remat=vp.remat,
+    )
+    tp = arch.text_params
+    text = dbert.DistilBertConfig(
+        vocab_size=tp.vocab_size or 30522,
+        dim=tp.dim or 768,
+        hidden_dim=tp.hidden_dim or 3072,
+        n_layers=tp.n_layers or 6,
+        n_heads=tp.n_heads or 12,
     )
     if compute_dtype is None:
         compute_dtype = jnp.float32
     return towers.TowerConfig(
         video=video,
-        text=dbert.DistilBertConfig(),
+        text=text,
         projection_dim=arch.projection_dim,
         projection=arch.projection,
         variant=arch.variant,

@@ -111,6 +111,30 @@ class TextVideoDataset:
     def __len__(self):
         return len(self.metadata)
 
+    def expand_sliding_windows(self, stride: int) -> None:
+        """Explode each video into multiple fixed-start windows for eval-time
+        temporal ensembling (reference _fix_temporal_samples,
+        base_dataset.py:75-82; the reference's `len(x - 1)` divides by F+1 — an
+        off-by-one — we use the intended interval width vlen // F).
+
+        After expansion each record carries 'fix_start' and 'window_group'; the
+        evaluator means video embeddings per group (test.py:243-266)."""
+        assert stride > 0
+        self.sliding_window_stride = stride
+        expanded: List[Any] = []
+        for gid, rec in enumerate(self.metadata):
+            try:
+                vlen, _, _, _ = vr.probe(self._get_video_path(rec)[0])
+            except vr.DecodeError:
+                vlen = self.num_frames
+            width = max(1, vlen // max(1, min(vlen, self.num_frames)))
+            for fs in range(0, width, stride):
+                r = dict(rec)
+                r["fix_start"] = int(fs)
+                r["window_group"] = gid
+                expanded.append(r)
+        self.metadata = expanded
+
     def _frame_sample_mode(self) -> str:
         return "uniform" if self.split == "test" else "rand"
 
@@ -162,6 +186,8 @@ class TextVideoDataset:
             "meta": {"raw_captions": caption, "paths": rel_fp,
                      "dataset": self.dataset_name, "index": index},
         }
+        if isinstance(rec, dict) and "window_group" in rec:
+            sample["meta"]["window_group"] = rec["window_group"]
         self._add_object_extras(sample, rec, idxs, vlen, rng)
         return sample
 

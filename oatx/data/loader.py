@@ -198,6 +198,27 @@ class MultiLoader:
                 yield i, b
 
 
+def pad_batch(batch: Dict[str, Any], multiple: int):
+    """Pad a ragged batch (last eval batch) to a multiple by repeating the final
+    sample → (padded_batch, n_valid). Keeps every eval step the same shape (no
+    recompiles) and divisible by the mesh's data axis."""
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    n = next(iter(arrays.values())).shape[0]
+    if multiple <= 1 or n % multiple == 0:
+        return batch, n
+    pad = multiple - n % multiple
+    out = dict(batch)
+    for k, v in arrays.items():
+        out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+    return out, n
+
+
+def padded_batches(iterator, multiple: int):
+    """Wrap a batch iterator: yields (padded_batch, n_valid)."""
+    for batch in iterator:
+        yield pad_batch(batch, multiple)
+
+
 def device_prefetch(iterator, mesh=None, depth: int = 2):
     """Move numpy batches onto the mesh ahead of consumption (double-buffered).
     Strings/metadata stay on host."""
@@ -223,8 +244,12 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
     def producer():
         try:
             for item in iterator:
-                if isinstance(item, tuple):  # MultiLoader (idx, batch)
-                    q.put((item[0], put(item[1])))
+                if isinstance(item, tuple):  # (idx, batch) or (batch, n_valid)
+                    a, b = item
+                    if isinstance(a, dict):
+                        q.put((put(a), b))
+                    else:
+                        q.put((a, put(b)))
                 else:
                     q.put(put(item))
             q.put(END)

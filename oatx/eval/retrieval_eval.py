@@ -1,0 +1,97 @@
+"""Retrieval evaluation (reference test.py:57-419 equivalent).
+
+Embeds the whole eval split with the jitted eval step, optionally
+temporal-ensembles sliding-window video embeddings (mean per video, first
+caption embedding per video — test.py:182-279), computes the similarity matrix
+and the configured retrieval metrics, and returns everything for reporting /
+visualization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from oatx.config.registry import METRICS
+from oatx.config.schema import ExperimentCfg
+from oatx.data.loader import ShardedLoader, device_prefetch, padded_batches
+from oatx.losses import contrastive as C
+from oatx.train import step as steplib
+
+
+@dataclasses.dataclass
+class EvalResult:
+    text_embeds: np.ndarray
+    video_embeds: np.ndarray
+    sims: np.ndarray
+    metrics: Dict[str, Dict[str, float]]
+    meta: List[Dict[str, Any]]
+
+
+def ensemble_windows(
+    text_embeds: np.ndarray, video_embeds: np.ndarray, groups: np.ndarray
+):
+    """Mean video embeddings over each window group; keep the first text
+    embedding per group (reference test.py:243-266)."""
+    uniq = []
+    seen = {}
+    for g in groups:
+        if g not in seen:
+            seen[g] = len(uniq)
+            uniq.append(g)
+    t_out = np.zeros((len(uniq), text_embeds.shape[1]), text_embeds.dtype)
+    v_out = np.zeros((len(uniq), video_embeds.shape[1]), video_embeds.dtype)
+    counts = np.zeros(len(uniq))
+    first = np.full(len(uniq), -1, np.int64)
+    for i, g in enumerate(groups):
+        j = seen[g]
+        v_out[j] += video_embeds[i]
+        counts[j] += 1
+        if first[j] < 0:
+            first[j] = i
+    v_out /= counts[:, None]
+    t_out = text_embeds[first]
+    return t_out, v_out
+
+
+def evaluate(
+    params,
+    tower_cfg,
+    loader: ShardedLoader,
+    metric_names: List[str] = ("t2v_metrics", "v2t_metrics"),
+    mesh=None,
+    query_masks: Optional[np.ndarray] = None,
+) -> EvalResult:
+    eval_step = steplib.make_eval_step(tower_cfg)
+    multiple = loader.batch_size
+    if mesh is not None:
+        from oatx.parallel.mesh import DATA_AXIS
+
+        multiple = max(multiple, mesh.shape[DATA_AXIS])
+    texts, vids, metas = [], [], []
+    for batch, n_valid in device_prefetch(
+            padded_batches(iter(loader), multiple), mesh):
+        meta = batch.pop("meta", [])
+        out = eval_step(params, batch)
+        texts.append(np.asarray(out["text_embeds"])[:n_valid])
+        vids.append(np.asarray(out["video_embeds"])[:n_valid])
+        metas.extend(meta[:n_valid])
+    text_e = np.concatenate(texts)
+    vid_e = np.concatenate(vids)
+
+    if metas and "window_group" in metas[0]:
+        groups = np.asarray([m["window_group"] for m in metas])
+        text_e, vid_e = ensemble_windows(text_e, vid_e, groups)
+
+    sims = np.asarray(C.sim_matrix(jnp.array(text_e), jnp.array(vid_e)))
+    results: Dict[str, Dict[str, float]] = {}
+    for name in metric_names:
+        fn = METRICS.get(name)
+        try:
+            results[name] = fn(sims, query_masks) if query_masks is not None else fn(sims)
+        except TypeError:
+            results[name] = fn(sims)
+    return EvalResult(text_e, vid_e, sims, results, metas)

@@ -1,0 +1,117 @@
+"""Checkpoint save/restore (Orbax) + reference-checkpoint import.
+
+Reference behavior reproduced (base_trainer.py:163-244):
+  * periodic `checkpoint-epoch{N}` + monitored `model_best`;
+  * resume restores epoch, monitor best, params and optimizer state;
+  * arbitrary torch `.pth` import via oatx.models.convert (DataParallel prefix
+    fix + temporal-embed inflation) for cross-framework weight compatibility.
+
+State layout: a composite of the train-state pytree and a JSON metadata blob
+{epoch, monitor_best, step}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    ckpt_dir: str | Path,
+    name: str,
+    state,
+    epoch: int,
+    monitor_best: float,
+    keep: Optional[int] = None,
+) -> Path:
+    """Save under ckpt_dir/name (an Orbax StandardCheckpointer snapshot)."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = Path(ckpt_dir).resolve()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / name
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _tree_to_numpy({
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }), force=True)
+    with open(ckpt_dir / f"{name}.meta.json", "w") as f:
+        json.dump({"epoch": int(epoch), "monitor_best": float(monitor_best),
+                   "step": int(state.step)}, f)
+    if keep is not None:
+        _gc_old(ckpt_dir, keep)
+    return path
+
+
+def _gc_old(ckpt_dir: Path, keep: int) -> None:
+    import re
+    import shutil
+
+    snaps = []
+    for p in ckpt_dir.iterdir():
+        m = re.fullmatch(r"checkpoint-epoch(\d+)", p.name)
+        if m:
+            snaps.append((int(m.group(1)), p))
+    for _, p in sorted(snaps)[:-keep]:
+        shutil.rmtree(p, ignore_errors=True)
+        meta = p.with_name(p.name + ".meta.json")
+        if meta.exists():
+            meta.unlink()
+
+
+def restore_checkpoint(path: str | Path, state_template) -> Tuple[Any, Dict[str, Any]]:
+    """Restore a snapshot into the template's structure → (state_dict, meta)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    template = _tree_to_numpy({
+        "params": state_template.params,
+        "opt_state": state_template.opt_state,
+        "step": state_template.step,
+    })
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template)
+    meta_path = path.with_name(path.name + ".meta.json")
+    meta = {"epoch": 0, "monitor_best": float("inf"), "step": 0}
+    if meta_path.exists():
+        meta.update(json.loads(meta_path.read_text()))
+    return restored, meta
+
+
+def import_initial_weights(
+    load_checkpoint: str,
+    tower_cfg,
+    fresh_params,
+    temporal_fix: str = "zeros",
+):
+    """Reference `load_checkpoint` semantics (model.py:74-79): if the path is a
+    torch .pth/.pth.tar, convert; if it is an oatx/orbax snapshot, restore params
+    only; '' → fresh params."""
+    if not load_checkpoint:
+        return fresh_params
+    p = Path(load_checkpoint)
+    if not p.exists():
+        raise FileNotFoundError(f"load_checkpoint not found: {load_checkpoint}")
+    if p.is_file() and p.suffix in (".pth", ".tar", ".pt") or str(p).endswith(".pth.tar"):
+        from oatx.models import convert
+
+        sd = convert.load_torch_checkpoint(str(p))
+        return convert.frozen_in_time_from_torch(
+            sd, tower_cfg.video, tower_cfg.text,
+            fresh_video_params=fresh_params["video"], temporal_fix=temporal_fix)
+    # orbax snapshot dir: restore (template-free) and take the params subtree
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(p.resolve())
+    return restored["params"]

@@ -41,10 +41,8 @@ def make_optimizer(
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if trainable_filter is not None:
-        tx = optax.chain(
-            freeze_mask_transform(trainable_filter),
-            tx,
-        )
+        # mask AFTER adamw so frozen params see neither gradients nor weight decay
+        tx = optax.chain(tx, freeze_mask_transform(trainable_filter))
     return tx
 
 

@@ -81,16 +81,50 @@ def loss_fn(
     raise ValueError(f"unknown variant {cfg.variant!r}")
 
 
+def make_augmenter(transform_cfg=None, train: bool = True,
+                   tower_cfg: Optional[towers.TowerConfig] = None):
+    """Batch augmenter applied INSIDE the jitted step: uint8 canonical frames →
+    normalized float (train: random crop/flip/jitter; eval: deterministic resize).
+    Fused by XLA with the forward — the host ships uint8 only. The output
+    resolution follows the tower's img_size when tower_cfg is given."""
+    from oatx.data import transforms as T
+
+    if transform_cfg is None:
+        res = tower_cfg.video.img_size if tower_cfg is not None else 224
+        transform_cfg = T.TransformConfig(input_res=res)
+    tcfg = transform_cfg
+
+    def augment(rng: jax.Array, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        out = dict(batch)
+        for i, key in enumerate(("video", "object_frame")):
+            if key in out and out[key].dtype == jnp.uint8:
+                if train:
+                    out[key] = T.train_augment(jax.random.fold_in(rng, i), out[key], tcfg)
+                else:
+                    out[key] = T.eval_transform(out[key], tcfg)
+        return out
+
+    return augment
+
+
 def make_train_step(
     cfg: towers.TowerConfig,
     loss_cfg: LossConfig,
     optimizer: optax.GradientTransformation,
     donate: bool = True,
+    augment: Optional[Callable] = None,
+    base_rng: Optional[jax.Array] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. State is donated (params updated in place in
-    HBM). Shard the batch over the mesh's data axis before calling."""
+    HBM). Shard the batch over the mesh's data axis before calling. If `augment`
+    is given it runs inside the step with a per-step rng folded from base_rng."""
+    if base_rng is None:
+        base_rng = jax.random.PRNGKey(0)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if augment is not None:
+            rng = jax.random.fold_in(base_rng, state.step)
+            batch = augment(rng, batch)
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, cfg, loss_cfg, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -102,11 +136,14 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: towers.TowerConfig) -> Callable:
+def make_eval_step(cfg: towers.TowerConfig, augment: Optional[Callable] = None) -> Callable:
     """Jitted embedding step for validation/retrieval eval: returns the embeddings
     (host gathers and computes metrics — reference _valid_epoch semantics)."""
+    if augment is None:
+        augment = make_augmenter(train=False, tower_cfg=cfg)
 
     def step(params: Params, batch: Dict[str, jnp.ndarray]):
+        batch = augment(jax.random.PRNGKey(0), batch)
         out = towers.forward(params, cfg, batch)
         if cfg.variant == "baseline":
             text_e, video_e = out

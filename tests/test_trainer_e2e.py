@@ -1,0 +1,149 @@
+"""End-to-end trainer/eval tests on the 8-device CPU mesh (tiny model)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _smoke_config(tmp_path, **overrides):
+    cfg = {
+        "name": "e2e",
+        "tokenizer": {"vocab_size": 256},
+        "arch": {
+            "type": "FrozenInTime",
+            "variant": "baseline",
+            "args": {
+                "video_params": {
+                    "model": "SpaceTimeTransformer", "arch_config": "base_patch16_224",
+                    "num_frames": 2, "input_res": 32, "embed_dim": 32, "depth": 1,
+                    "num_heads": 2, "time_init": "zeros", "pretrained": False,
+                },
+                "object_params": {"model": ""},
+                "text_params": {
+                    "model": "distilbert-base-uncased", "pretrained": False,
+                    "vocab_size": 256, "dim": 32, "hidden_dim": 64,
+                    "n_layers": 1, "n_heads": 2,
+                },
+                "projection": "minimal", "projection_dim": 16,
+                "load_checkpoint": "",
+            },
+        },
+        "data_loader": [{
+            "type": "TextVideoDataLoader",
+            "args": {
+                "dataset_name": "SyntheticVideoText",
+                "data_dir": str(tmp_path / "videos"),
+                "object_dir": str(tmp_path / "objects"),
+                "batch_size": 8, "num_workers": 4, "split": "train",
+                "video_params": {"input_res": 32, "num_frames": 2,
+                                 "num_videos": 16, "loading": "lax"},
+            },
+        }],
+        "optimizer": {"type": "AdamW", "args": {"lr": 1e-3}},
+        "loss": {"type": "NormSoftmaxLoss", "args": {}},
+        "metrics": ["t2v_metrics", "v2t_metrics"],
+        "trainer": {
+            "epochs": 2, "max_samples_per_epoch": 16,
+            "save_dir": str(tmp_path / "exps"), "save_period": 1,
+            "verbosity": 0, "monitor": "min val_loss_0", "early_stop": 10,
+            "init_val": False, "precision": "f32", "seed": 0,
+        },
+        "visualizer": {"type": ""},
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train 2 tiny epochs through the real CLI main(); reused by several tests."""
+    from oatx.cli.train import main
+
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    cfg = _smoke_config(tmp_path)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main(["-c", str(cfg_path), "--no_timestamp"])
+    assert rc == 0
+    save_dir = tmp_path / "exps" / "models" / "e2e"
+    return tmp_path, cfg, save_dir
+
+
+def test_training_produces_checkpoints(trained):
+    _, _, save_dir = trained
+    assert (save_dir / "checkpoint-epoch1").exists()
+    assert (save_dir / "checkpoint-epoch2").exists()
+    assert (save_dir / "model_best").exists()
+    assert (save_dir / "config.json").exists()
+    meta = json.loads((save_dir / "model_best.meta.json").read_text())
+    assert np.isfinite(meta["monitor_best"])
+
+
+def test_training_loss_decreases(trained):
+    """Two epochs over 16 fixed clips must reduce the contrastive loss."""
+    tmp_path, cfg, save_dir = trained
+    from oatx.config.schema import ExperimentCfg
+    from oatx.data.factory import build_loaders
+    from oatx.data.tokenizer import WordPieceTokenizer
+    from oatx.train.trainer import Trainer
+
+    exp = ExperimentCfg.from_dict(cfg)
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"a dog runs in scene {i}" for i in range(20)], vocab_size=256)
+    loaders = build_loaders(exp, tok)
+    tr = Trainer(exp, loaders, [], save_dir=None, log_dir=None)
+    hist = tr.train()
+    assert hist[2]["loss_0"] < hist[1]["loss_0"]
+
+
+def test_resume_continues(trained):
+    tmp_path, cfg, save_dir = trained
+    from oatx.cli.train import main
+
+    rc = main(["-r", str(save_dir / "checkpoint-epoch1"), "--no_timestamp"])
+    assert rc == 0
+
+
+def test_eval_cli(trained):
+    tmp_path, cfg, save_dir = trained
+    from oatx.cli.test import main
+
+    rc = main(["-r", str(save_dir / "model_best"), "--split", "test"])
+    assert rc == 0
+
+
+def test_eval_cli_sliding_window(trained, capsys):
+    tmp_path, cfg, save_dir = trained
+    from oatx.cli.test import main
+
+    rc = main(["-r", str(save_dir / "model_best"), "--split", "test",
+               "--sliding_window_stride", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert "t2v_metrics" in metrics and "R1" in metrics["t2v_metrics"]
+
+
+def test_linear_probe_freezes_towers(trained):
+    """--linear_eval must leave tower params untouched and move projections."""
+    tmp_path, cfg, save_dir = trained
+    from oatx.config.schema import ExperimentCfg
+    from oatx.data.factory import build_loaders
+    from oatx.data.tokenizer import WordPieceTokenizer
+    from oatx.train.trainer import Trainer
+    import jax
+
+    exp = ExperimentCfg.from_dict({**cfg, "trainer": {**cfg["trainer"], "epochs": 1}})
+    tok = WordPieceTokenizer.build_from_corpus(["a dog"], vocab_size=256)
+    loaders = build_loaders(exp, tok)
+    tr = Trainer(exp, loaders, [], save_dir=None, log_dir=None, linear_eval=True)
+    before = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    tr.train()
+    after = jax.tree_util.tree_map(np.asarray, tr.state.params)
+    np.testing.assert_allclose(after["video"]["cls_token"], before["video"]["cls_token"])
+    np.testing.assert_allclose(
+        after["text"]["embeddings"]["word"], before["text"]["embeddings"]["word"])
+    assert not np.allclose(after["vid_proj"]["kernel"], before["vid_proj"]["kernel"])
+    assert not np.allclose(after["txt_proj"]["kernel"], before["txt_proj"]["kernel"])
