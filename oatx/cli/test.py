@@ -68,6 +68,25 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     for name, m in result.metrics.items():
         short = {"t2v_metrics": "t2v", "v2t_metrics": "v2t"}.get(name, name)
         logger.info(verbose(0, m, ds.dataset_name, short))
+
+    # qualitative exports (reference test_region_mem.py binary maps + the HTML
+    # ranking galleries of utils/visualizer.py)
+    if exp.cfg.arch.variant == "region_mem":
+        from oatx.eval.retrieval_eval import export_region_maps
+
+        maps_dir = exp.web_dir / "region_maps"
+        paths = export_region_maps(params, tower_cfg, loader, str(maps_dir))
+        logger.info("wrote %d region binary maps → %s", len(paths), maps_dir)
+    if exp.cfg.visualizer.get("type") == "RetrievalVis":
+        from oatx.utils.html_viz import RetrievalVis
+
+        vis = RetrievalVis(str(exp.web_dir), title=exp.cfg.name)
+        caps = [m_.get("raw_captions", "") for m_ in result.meta]
+        vids = [m_.get("paths", "") for m_ in result.meta]
+        if caps and vids and result.sims.shape[0] == len(caps):
+            vis.from_sims(result.sims, caps, vids)
+            logger.info("wrote retrieval gallery → %s", vis.write())
+
     print(json.dumps({n: {k: round(float(v), 3) for k, v in m.items()}
                       for n, m in result.metrics.items()}))
     return 0

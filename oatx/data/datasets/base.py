@@ -40,8 +40,9 @@ class ObjectOptions:
     features: bool = False          # (top_k, 2054) ROI features
     features_top_k: int = 10
     unique_classes: bool = False
-    patch_masks: bool = False       # (num_mask_objects, 196) masks of object frame
+    patch_masks: bool = False       # (num_mask_objects, patch_rows²) masks of object frame
     num_mask_objects: int = 5
+    patch_rows: int = 14            # model patch grid = input_res // patch_size
     object_frame: bool = False      # decode + emit the aligned extraction frame
     region_memory: Optional[obj.RegionMemoryBank] = None  # CLIP rows per class
     extraction_frames: int = 8      # offline extractor grid size
@@ -248,7 +249,7 @@ class TextVideoDataset:
             if len(picked) < k:
                 picked = np.concatenate(
                     [picked, np.zeros((k - len(picked), 6), np.float32)], axis=0)
-            sample["patch_masks"] = obj.patch_masks_from_bboxes(picked)
+            sample["patch_masks"] = obj.patch_masks_from_bboxes(picked, patch_rows=o.patch_rows)
             sample["picked_class_ids"] = (
                 class_ids[pick] if n_avail >= k else
                 np.concatenate([class_ids[pick], np.zeros(k - n_avail, np.int64)]))

@@ -24,16 +24,19 @@ def object_options_for_variant(
 ) -> ObjectOptions:
     op = dl.object_params
     tp = dl.text_params
+    patch_rows = dl.input_res // 16  # model patch grid (ViT-B/16)
     if variant == "global_local":
         return ObjectOptions(
             tags=True, tags_top_k=int(op.get("top_k", 20)),
             patch_masks=True, num_mask_objects=int(op.get("num_mask_objects", 20)),
+            patch_rows=patch_rows,
             object_frame=True,
             features=bool(op.get("input_objects", False)),
         )
     if variant == "region_mem":
         return ObjectOptions(
             patch_masks=True, num_mask_objects=int(op.get("num_mask_objects", 5)),
+            patch_rows=patch_rows,
             tags_top_k=int(op.get("top_k", 15)),
             object_frame=True,
             region_memory=region_bank,

@@ -95,3 +95,45 @@ def evaluate(
         except TypeError:
             results[name] = fn(sims)
     return EvalResult(text_e, vid_e, sims, results, metas)
+
+
+def export_region_maps(
+    params,
+    tower_cfg,
+    loader: ShardedLoader,
+    out_dir: str,
+    limit: int = 16,
+) -> List[str]:
+    """Region-grounding binary-map export (reference test_region_mem.py:128-170):
+    per sample, [object frame | GT top-object patch mask | predicted sigmoid
+    region similarity] concatenated as one PNG."""
+    import os
+
+    import jax
+
+    from oatx.models import towers
+    from oatx.visualization.binary_map import save_binary_map
+
+    os.makedirs(out_dir, exist_ok=True)
+    fwd = jax.jit(lambda p, b: towers.forward_region_mem(p, tower_cfg, b))
+    from oatx.train.step import make_augmenter
+
+    aug = make_augmenter(train=False, tower_cfg=tower_cfg)
+    paths: List[str] = []
+    for batch in loader:
+        meta = batch.pop("meta", [])
+        raw_object_frames = batch.get("object_frame")
+        fb = aug(jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()})
+        out = fwd(params, fb)
+        sims = jax.nn.sigmoid(out["region_sim_logits"])
+        for i in range(sims.shape[0]):
+            if len(paths) >= limit:
+                return paths
+            frame = np.asarray(raw_object_frames[i, 0])
+            gt = np.asarray(batch["patch_masks"][i][0])
+            pred = np.asarray(sims[i][0])
+            label = meta[i]["raw_captions"][:40] if i < len(meta) else ""
+            paths.append(save_binary_map(
+                os.path.join(out_dir, f"{len(paths)}_predict.png"),
+                frame, gt, pred, label=label))
+    return paths

@@ -52,6 +52,7 @@ class SpaceTimeViTConfig:
     region_tap_layer: Optional[int] = None  # e.g. 6 → also return layer-6 patches
     pooling: str = "cls"              # 'cls' | 'cls_mean_half' (global-local)
     remat: bool = False               # remat each block (memory ↔ flops trade)
+    remat_policy: str = "full"        # 'full' | 'dots' (save MXU outputs, recompute VPU)
 
     @property
     def patches_per_frame(self) -> int:
@@ -166,7 +167,13 @@ def apply(
 
     block = lambda bp, xx: _block_apply(cfg, bp, xx, f)
     if cfg.remat:
-        block = jax.checkpoint(lambda bp, xx: _block_apply(cfg, bp, xx, f))
+        policy = None
+        if cfg.remat_policy == "dots":
+            # keep MXU (matmul) outputs resident, recompute only cheap VPU ops in
+            # the backward — much less recompute than full remat at modest memory
+            policy = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+        block = jax.checkpoint(
+            lambda bp, xx: _block_apply(cfg, bp, xx, f), policy=policy)
 
     def scan_body(xx, bp):
         return block(bp, xx), None

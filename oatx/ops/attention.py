@@ -30,6 +30,22 @@ from oatx.ops.layers import linear
 
 Params = Dict[str, Any]
 
+# Pallas kernel toggle: None = auto (TPU only), True/False = forced.
+_USE_PALLAS: Optional[bool] = None
+
+
+def set_use_pallas(value: Optional[bool]) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = value
+
+
+def _pallas_enabled() -> bool:
+    if _USE_PALLAS is not None:
+        return _USE_PALLAS
+    from oatx.ops.pallas.spacetime_attention import use_pallas
+
+    return use_pallas()
+
 
 def _softmax_f32(logits: jnp.ndarray, dtype) -> jnp.ndarray:
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
@@ -96,6 +112,12 @@ def divided_attention(
     cls_k = k[:, :1]  # (B, 1, H, Dh)
     cls_v = v[:, :1]
 
+    if mode == "space" and _pallas_enabled():
+        from oatx.ops.pallas.spacetime_attention import space_attention
+
+        out_full = space_attention(q, k, v, f)
+        return linear(params["proj"], out_full.reshape(b, t, d))
+
     if mode == "space":
         # groups = frames: (B, F, N, H, Dh); keys = [CLS] + frame patches
         kg = jnp.concatenate([jnp.broadcast_to(cls_k[:, None], (b, f, 1, h, dh)), kp], axis=2)
@@ -105,16 +127,31 @@ def divided_attention(
         out = jnp.einsum("bfhqk,bfkhd->bfqhd", p, vg, preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).reshape(b, f * n, h, dh)
     elif mode == "time":
-        # groups = patch positions: (B, N, F, H, Dh); keys = [CLS] + same-position frames
-        qt = jnp.swapaxes(qp, 1, 2)  # (B, N, F, H, Dh)
-        kt = jnp.swapaxes(kp, 1, 2)
-        vt = jnp.swapaxes(vp, 1, 2)
-        kg = jnp.concatenate([jnp.broadcast_to(cls_k[:, None], (b, n, 1, h, dh)), kt], axis=2)
-        vg = jnp.concatenate([jnp.broadcast_to(cls_v[:, None], (b, n, 1, h, dh)), vt], axis=2)
-        logits = jnp.einsum("bnqhd,bnkhd->bnhqk", qt, kg, preferred_element_type=jnp.float32)
-        p = _softmax_f32(logits, x.dtype)
-        out = jnp.einsum("bnhqk,bnkhd->bnqhd", p, vg, preferred_element_type=jnp.float32)
-        out = jnp.swapaxes(out.astype(x.dtype), 1, 2).reshape(b, f * n, h, dh)
+        # groups = patch positions; keys = [CLS] + same-position frames.
+        #
+        # TPU layout note: the naive einsum puts (q=F, k=F+1) as the two minor
+        # dims of the logits — with F=4 the (8,128)/(16,128) tiling pads that
+        # tensor ~25x (observed 424MB of padding at B=16). FLOPs here are
+        # trivial (~0.1 GFLOP), so compute attention with N as the minor dim
+        # instead: broadcast-multiply-reduce over Dh, logits (B,H,F,F+1,N) —
+        # tile padding drops to ~2x and XLA fuses the reductions on the VPU.
+        qn = qp.transpose(0, 3, 4, 1, 2)  # (B, H, Dh, F, N)
+        kn = kp.transpose(0, 3, 4, 1, 2)
+        vn = vp.transpose(0, 3, 4, 1, 2)
+        cls_kn = cls_k.transpose(0, 2, 3, 1)[:, :, :, :, None]  # (B, H, Dh, 1, 1)
+        cls_kn = jnp.broadcast_to(cls_kn, (b, h, dh, 1, n))
+        cls_vn = cls_v.transpose(0, 2, 3, 1)[:, :, :, :, None]
+        cls_vn = jnp.broadcast_to(cls_vn, (b, h, dh, 1, n))
+        kg = jnp.concatenate([cls_kn, kn], axis=3)  # (B, H, Dh, F+1, N)
+        vg = jnp.concatenate([cls_vn, vn], axis=3)
+        # logits[b,h,q,k,n] = sum_d q[b,h,d,q,n] * k[b,h,d,k,n]
+        logits = jnp.sum(
+            qn[:, :, :, :, None, :].astype(jnp.float32)
+            * kg[:, :, :, None, :, :].astype(jnp.float32), axis=2)
+        p = jax.nn.softmax(logits, axis=-2).astype(x.dtype)  # over k
+        # out[b,h,d,q,n] = sum_k p[b,h,q,k,n] * v[b,h,d,k,n]
+        out = jnp.sum(p[:, :, None] * vg[:, :, :, None], axis=4)  # (B,H,Dh,F,N)
+        out = out.transpose(0, 3, 4, 1, 2).reshape(b, f * n, h, dh)
     else:
         raise ValueError(f"mode must be 'space' or 'time', got {mode!r}")
 

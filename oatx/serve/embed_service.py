@@ -1,0 +1,169 @@
+"""Batched video/text → embedding serving path.
+
+The BASELINE.json north star tracks "batched video→embedding serving p50 latency"
+as a first-class metric. This module provides the production-shaped serving core:
+fixed-batch compiled inference functions (one compile per bucket size), a
+micro-batching queue that coalesces concurrent requests, and latency statistics
+(p50/p90/p99) measured relay-safely (device fetch, not dispatch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class LatencyStats:
+    samples_ms: List[float] = field(default_factory=list)
+
+    def add(self, ms: float) -> None:
+        self.samples_ms.append(ms)
+
+    def percentile(self, p: float) -> float:
+        if not self.samples_ms:
+            return float("nan")
+        return float(np.percentile(self.samples_ms, p))
+
+    def summary(self) -> Dict[str, float]:
+        return {
+            "count": len(self.samples_ms),
+            "p50_ms": self.percentile(50),
+            "p90_ms": self.percentile(90),
+            "p99_ms": self.percentile(99),
+            "mean_ms": float(np.mean(self.samples_ms)) if self.samples_ms else float("nan"),
+        }
+
+
+class EmbedService:
+    """Compiled dual-tower embedding service.
+
+    Batch-size bucketing: requests are padded up to the nearest configured
+    bucket so only len(buckets) graphs are ever compiled.
+    """
+
+    def __init__(self, params, tower_cfg, buckets: Sequence[int] = (1, 4, 16),
+                 seq_len: int = 30):
+        import jax
+        import jax.numpy as jnp
+
+        from oatx.models import towers
+        from oatx.train.step import make_augmenter
+
+        self.params = params
+        self.cfg = tower_cfg
+        self.buckets = sorted(buckets)
+        self.seq_len = seq_len
+        self.stats = {"video": LatencyStats(), "text": LatencyStats()}
+        aug = make_augmenter(train=False, tower_cfg=tower_cfg)
+
+        def video_fn(p, video_u8):
+            batch = aug(jax.random.PRNGKey(0), {"video": video_u8})
+            return towers.compute_video(p, tower_cfg, batch["video"])["cls"]
+
+        def text_fn(p, ids, mask):
+            return towers.compute_text(p, tower_cfg, ids, mask)
+
+        self._video_fn = jax.jit(video_fn)
+        self._text_fn = jax.jit(text_fn)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def warmup(self, frames: int, canon: int = 256) -> None:
+        """Compile every bucket ahead of serving."""
+        for b in self.buckets:
+            v = np.zeros((b, frames, canon, canon, 3), np.uint8)
+            _ = np.asarray(self._video_fn(self.params, v))
+            ids = np.zeros((b, self.seq_len), np.int32)
+            _ = np.asarray(self._text_fn(self.params, ids, np.ones_like(ids)))
+
+    def embed_video(self, video_u8: np.ndarray) -> np.ndarray:
+        """(B, F, canon, canon, 3) uint8 → (B, D) float32; records latency."""
+        n = video_u8.shape[0]
+        b = self._bucket(n)
+        if n < b:
+            pad = np.repeat(video_u8[-1:], b - n, axis=0)
+            video_u8 = np.concatenate([video_u8, pad], axis=0)
+        t0 = time.perf_counter()
+        out = np.asarray(self._video_fn(self.params, video_u8))  # fetch = real latency
+        self.stats["video"].add((time.perf_counter() - t0) * 1e3)
+        return out[:n]
+
+    def embed_text(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+        n = input_ids.shape[0]
+        b = self._bucket(n)
+        if n < b:
+            input_ids = np.concatenate(
+                [input_ids, np.repeat(input_ids[-1:], b - n, axis=0)])
+            attention_mask = np.concatenate(
+                [attention_mask, np.repeat(attention_mask[-1:], b - n, axis=0)])
+        t0 = time.perf_counter()
+        out = np.asarray(self._text_fn(self.params, input_ids, attention_mask))
+        self.stats["text"].add((time.perf_counter() - t0) * 1e3)
+        return out[:n]
+
+    def latency_summary(self) -> Dict[str, Dict[str, float]]:
+        return {k: v.summary() for k, v in self.stats.items()}
+
+
+class MicroBatcher:
+    """Coalesces concurrent single requests into service batches (max_batch or
+    max_wait_ms, whichever first). Thread-based; submit() blocks until the
+    embedding is ready."""
+
+    def __init__(self, service: EmbedService, max_batch: int = 16,
+                 max_wait_ms: float = 5.0):
+        self.service = service
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue[Tuple[np.ndarray, queue.Queue]]" = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, video_u8: np.ndarray) -> np.ndarray:
+        """One clip (F, canon, canon, 3) → (D,) embedding."""
+        done: "queue.Queue" = queue.Queue()
+        self._q.put((video_u8, done))
+        out = done.get()
+        if isinstance(out, Exception):
+            raise out
+        return out
+
+    def _loop(self) -> None:
+        while not self._stop:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(items) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            clips = np.stack([v for v, _ in items])
+            try:
+                embeds = self.service.embed_video(clips)
+                for (_, done), e in zip(items, embeds):
+                    done.put(e)
+            except Exception as ex:  # propagate to all waiters
+                for _, done in items:
+                    done.put(ex)
+
+    def close(self) -> None:
+        self._stop = True
+        self._thread.join(timeout=1)
