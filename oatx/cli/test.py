@@ -69,6 +69,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         short = {"t2v_metrics": "t2v", "v2t_metrics": "v2t"}.get(name, name)
         logger.info(verbose(0, m, ds.dataset_name, short))
 
+    if exp.cfg.arch.variant == "global_local":
+        from oatx.eval.retrieval_eval import evaluate_streams
+
+        for stream, ms in evaluate_streams(
+                params, tower_cfg, loader, exp.cfg.metrics, mesh).items():
+            for name, m in ms.items():
+                logger.info(verbose(0, m, f"{ds.dataset_name}[{stream}]",
+                                    name.replace("_metrics", "")))
+
     # qualitative exports (reference test_region_mem.py binary maps + the HTML
     # ranking galleries of utils/visualizer.py)
     if exp.cfg.arch.variant == "region_mem":

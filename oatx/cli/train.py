@@ -25,6 +25,11 @@ from oatx.utils.logging import setup_logging
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    import os
+
+    if os.environ.get("OATX_MULTIHOST") == "1":
+        # multi-host pod: coordinator/process info from the TPU runtime env
+        jax.distributed.initialize()
     exp = load_experiment(argv)
     logger = setup_logging(exp.log_dir, "oatx", exp.cfg.trainer.verbosity)
     logger.info("experiment %s → %s", exp.cfg.name, exp.save_dir)

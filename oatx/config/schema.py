@@ -300,7 +300,7 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
 
     if arch.video_params.model != "SpaceTimeTransformer":
         raise NotImplementedError(f"video model {arch.video_params.model!r}")
-    if arch.text_params.family not in ("distilbert",):
+    if arch.text_params.family not in ("distilbert", "bert"):
         raise NotImplementedError(f"text model family {arch.text_params.family!r}")
 
     ARCH_TABLE = {  # arch_config → (embed_dim, depth, num_heads, patch)
@@ -323,18 +323,30 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
         remat=vp.remat,
     )
     tp = arch.text_params
-    text = dbert.DistilBertConfig(
-        vocab_size=tp.vocab_size or 30522,
-        dim=tp.dim or 768,
-        hidden_dim=tp.hidden_dim or 3072,
-        n_layers=tp.n_layers or 6,
-        n_heads=tp.n_heads or 12,
-    )
+    if tp.family == "bert":
+        from oatx.models.bert import BertConfig
+
+        text = BertConfig(
+            vocab_size=tp.vocab_size or 30522,
+            dim=tp.dim or 768,
+            hidden_dim=tp.hidden_dim or 3072,
+            n_layers=tp.n_layers or 12,
+            n_heads=tp.n_heads or 12,
+        )
+    else:
+        text = dbert.DistilBertConfig(
+            vocab_size=tp.vocab_size or 30522,
+            dim=tp.dim or 768,
+            hidden_dim=tp.hidden_dim or 3072,
+            n_layers=tp.n_layers or 6,
+            n_heads=tp.n_heads or 12,
+        )
     if compute_dtype is None:
         compute_dtype = jnp.float32
     return towers.TowerConfig(
         video=video,
         text=text,
+        text_family=tp.family,
         projection_dim=arch.projection_dim,
         projection=arch.projection,
         variant=arch.variant,

@@ -97,6 +97,56 @@ def evaluate(
     return EvalResult(text_e, vid_e, sims, results, metas)
 
 
+def evaluate_streams(
+    params,
+    tower_cfg,
+    loader: ShardedLoader,
+    metric_names: List[str] = ("t2v_metrics",),
+    mesh=None,
+) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Multi-stream retrieval eval for the global-local variant (reference
+    test.py's st2sv/lt2sv/lt2lv/o2v stream sims, test.py:280-374):
+
+      st2sv — short (caption) text ↔ video clip
+      lt2sv — long (caption+tags) text ↔ video clip
+      st2ov — short text ↔ object-frame image
+      lt2ov — long text ↔ object-frame image
+
+    Returns {stream: {metric: {...}}}."""
+    import jax
+
+    from oatx.models import towers
+    from oatx.train.step import make_augmenter
+
+    aug = make_augmenter(train=False, tower_cfg=tower_cfg)
+    fwd = jax.jit(lambda p, b: towers.forward_global_local(p, tower_cfg, b))
+    acc: Dict[str, List[np.ndarray]] = {k: [] for k in (
+        "text_embeds", "pad_text_embeds", "video_embeds", "object_img_embeds")}
+    multiple = loader.batch_size
+    if mesh is not None:
+        from oatx.parallel.mesh import DATA_AXIS
+
+        multiple = max(multiple, mesh.shape[DATA_AXIS])
+    for batch, n_valid in device_prefetch(padded_batches(iter(loader), multiple), mesh):
+        batch.pop("meta", None)
+        out = fwd(params, aug(jax.random.PRNGKey(0), batch))
+        for k in acc:
+            acc[k].append(np.asarray(out[k])[:n_valid])
+    embeds = {k: np.concatenate(v) for k, v in acc.items()}
+
+    streams = {
+        "st2sv": (embeds["text_embeds"], embeds["video_embeds"]),
+        "lt2sv": (embeds["pad_text_embeds"], embeds["video_embeds"]),
+        "st2ov": (embeds["text_embeds"], embeds["object_img_embeds"]),
+        "lt2ov": (embeds["pad_text_embeds"], embeds["object_img_embeds"]),
+    }
+    results: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for stream, (a, b) in streams.items():
+        sims = np.asarray(C.sim_matrix(jnp.array(a), jnp.array(b)))
+        results[stream] = {name: METRICS.get(name)(sims) for name in metric_names}
+    return results
+
+
 def export_region_maps(
     params,
     tower_cfg,

@@ -178,14 +178,14 @@ def spacetime_vit_overlay_torch(
 def frozen_in_time_from_torch(
     state_dict: Dict[str, np.ndarray],
     video_cfg: vst.SpaceTimeViTConfig,
-    text_cfg: Optional[dbert.DistilBertConfig] = None,
+    text_cfg: Optional[Any] = None,
     fresh_video_params: Optional[Params] = None,
     temporal_fix: str = "zeros",
+    text_family: str = "distilbert",
 ) -> Params:
     """Full reference checkpoint (video_model.* + text_model.* + projections) →
     oatx dual-tower param tree {video, text, vid_proj, txt_proj}."""
     sd = strip_data_parallel_prefix(state_dict)
-    text_cfg = text_cfg or dbert.DistilBertConfig()
 
     import jax.random as jr
 
@@ -195,7 +195,12 @@ def frozen_in_time_from_torch(
     video = spacetime_vit_overlay_torch(
         fresh, sd, video_cfg, temporal_fix=temporal_fix, prefix="video_model."
     )
-    text = distilbert_from_torch(sd, text_cfg)
+    if text_family == "bert":
+        from oatx.models.bert import BertConfig, bert_from_torch
+
+        text = bert_from_torch(sd, text_cfg or BertConfig())
+    else:
+        text = distilbert_from_torch(sd, text_cfg or dbert.DistilBertConfig())
     out: Params = {"video": video, "text": text}
     # projection heads: txt_proj = Sequential(ReLU, Linear) → index 1;
     # vid_proj = Sequential(Linear) → index 0 (reference model.py:59-65)

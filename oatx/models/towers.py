@@ -38,7 +38,8 @@ from oatx.ops.layers import linear
 @dataclasses.dataclass(frozen=True)
 class TowerConfig:
     video: vst.SpaceTimeViTConfig = dataclasses.field(default_factory=vst.SpaceTimeViTConfig)
-    text: dbert.DistilBertConfig = dataclasses.field(default_factory=dbert.DistilBertConfig)
+    text: Any = dataclasses.field(default_factory=dbert.DistilBertConfig)
+    text_family: str = "distilbert"    # 'distilbert' (CLS) | 'bert' (pooler)
     projection_dim: int = 256
     projection: str = "minimal"        # 'minimal' | '' (identity)
     variant: str = "baseline"          # 'baseline' | 'global_local' | 'region_mem'
@@ -64,9 +65,15 @@ def _proj_init(rng: jax.Array, d_in: int, d_out: int) -> Params:
 
 def init(rng: jax.Array, cfg: TowerConfig) -> Params:
     rs = jax.random.split(rng, 8)
+    if cfg.text_family == "bert":
+        from oatx.models import bert as bert_mod
+
+        text_params = bert_mod.init(rs[1], cfg.text)
+    else:
+        text_params = dbert.init(rs[1], cfg.text)
     params: Params = {
         "video": vst.init(rs[0], cfg.video),
-        "text": dbert.init(rs[1], cfg.text),
+        "text": text_params,
     }
     if cfg.projection == "minimal":
         params["txt_proj"] = _proj_init(rs[2], cfg.text.dim, cfg.projection_dim)
@@ -99,14 +106,23 @@ def compute_text(
     attention_mask: Optional[jnp.ndarray] = None,
     return_tokens: bool = False,
 ):
-    """Text embedding (B, proj_dim); optionally also the full token features."""
-    hidden = dbert.apply(params["text"], cfg.text, input_ids, attention_mask,
-                         dtype=cfg.compute_dtype)
+    """Text embedding (B, proj_dim); optionally also the full token features.
+
+    distilbert → CLS hidden state; bert → tanh pooler output (reference
+    model.py:104-110 dispatch)."""
+    if cfg.text_family == "bert":
+        from oatx.models import bert as bert_mod
+
+        hidden, pooled = bert_mod.apply(params["text"], cfg.text, input_ids,
+                                        attention_mask, dtype=cfg.compute_dtype)
+        pooled = pooled.astype(cfg.compute_dtype)
+    else:
+        hidden = dbert.apply(params["text"], cfg.text, input_ids, attention_mask,
+                             dtype=cfg.compute_dtype)
+        pooled = hidden[:, 0]
     if cfg.variant == "global_local":
         # CLS + mean of the remaining tokens (oa_model_global_local.py:217)
         pooled = hidden[:, 0] + jnp.mean(hidden[:, 1:], axis=1)
-    else:
-        pooled = hidden[:, 0]
     emb = _txt_proj(params, cfg, pooled.astype(jnp.float32))
     if return_tokens:
         return emb, hidden

@@ -108,7 +108,8 @@ def import_initial_weights(
         sd = convert.load_torch_checkpoint(str(p))
         return convert.frozen_in_time_from_torch(
             sd, tower_cfg.video, tower_cfg.text,
-            fresh_video_params=fresh_params["video"], temporal_fix=temporal_fix)
+            fresh_video_params=fresh_params["video"], temporal_fix=temporal_fix,
+            text_family=getattr(tower_cfg, "text_family", "distilbert"))
     # orbax snapshot dir: restore (template-free) and take the params subtree
     import orbax.checkpoint as ocp
 

@@ -121,6 +121,27 @@ class Trainer:
         self.eval_step = steplib.make_eval_step(self.tower_cfg)
         self.not_improved = 0
 
+        # preemption safety (beyond the reference — SURVEY.md §5 lists no elastic
+        # recovery there): SIGTERM/SIGUSR1 requests a checkpoint at the next step
+        self._preempted = False
+        self._install_preemption_handler()
+
+    def _install_preemption_handler(self) -> None:
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def handler(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass
+
     @staticmethod
     def _parse_monitor(monitor: str):
         if monitor in ("off", ""):
@@ -141,6 +162,9 @@ class Trainer:
         for epoch in range(self.start_epoch, t.epochs + 1):
             log = {"epoch": epoch}
             log.update(self._train_epoch(epoch))
+            if self._preempted:
+                self.logger.warning("stopping after preemption checkpoint (epoch %d)", epoch)
+                break
             if self.valid_loaders:
                 log.update(self._valid_epoch(epoch))
             history[epoch] = log
@@ -181,6 +205,13 @@ class Trainer:
             step_in_epoch += 1
             if loader_idx == len(self.train_loaders) - 1:
                 cycles_done += 1
+            if self._preempted:
+                _ = float(metrics["loss"])
+                if self.save_dir:
+                    ckptlib.save_checkpoint(self.save_dir, f"preempt-epoch{epoch}",
+                                            self.state, epoch, self.monitor_best)
+                    self.logger.warning("preemption signal: checkpoint saved, exiting epoch")
+                break
             if step_in_epoch % log_step == 0:
                 loss = float(metrics["loss"])  # forces the chain (axon-safe timing)
                 losses[loader_idx].append(loss)

@@ -47,9 +47,13 @@ def _install_timm_stub():
     models = types.ModuleType("timm.models")
     models.layers = layers
     timm.models = models
-    sys.modules["timm"] = timm
-    sys.modules["timm.models"] = models
-    sys.modules["timm.models.layers"] = layers
+    # transformers probes importlib.util.find_spec('timm'); give the stubs specs
+    from importlib.machinery import ModuleSpec
+
+    for name, mod in (("timm", timm), ("timm.models", models),
+                      ("timm.models.layers", layers)):
+        mod.__spec__ = ModuleSpec(name, loader=None)
+        sys.modules[name] = mod
 
 
 def load_reference_video_transformer():
