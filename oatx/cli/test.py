@@ -69,6 +69,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         short = {"t2v_metrics": "t2v", "v2t_metrics": "v2t"}.get(name, name)
         logger.info(verbose(0, m, ds.dataset_name, short))
 
+    # multiple-choice datasets (LSMDC_choice): candidate-caption accuracy
+    if getattr(ds, "is_multiple_choice", False):
+        from oatx.eval.retrieval_eval import evaluate_multiple_choice
+
+        mc = evaluate_multiple_choice(params, tower_cfg, loader, tokenizer)
+        logger.info("[mc] %s accuracy %.2f%% (n=%d)", ds.dataset_name,
+                    mc["accuracy"], mc["n"])
+        result.metrics["multiple_choice"] = mc
+
     if exp.cfg.arch.variant == "global_local":
         from oatx.eval.retrieval_eval import evaluate_streams
 

@@ -222,6 +222,8 @@ class LossCfg:
     temperature: float = 0.05
     margin: float = 1.0
     region_bce_weight: float = 0.1
+    chunked: bool = False
+    chunk_size: int = 4096
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "LossCfg":
@@ -231,6 +233,8 @@ class LossCfg:
             temperature=float(_get(args, "temperature", 0.05)),
             margin=float(_get(args, "margin", 1.0)),
             region_bce_weight=float(_get(args, "region_bce_weight", 0.1)),
+            chunked=bool(_get(args, "chunked", False)),
+            chunk_size=int(_get(args, "chunk_size", 4096)),
         )
 
 

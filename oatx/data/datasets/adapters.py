@@ -237,6 +237,8 @@ class LSMDCChoice(LSMDC):
     """LSMDC multiple-choice eval variant: each record carries 5 candidate
     captions; answer index stored in meta (reference LSMDC_choice_dataset.py)."""
 
+    is_multiple_choice = True
+
     def get_sample(self, index, rng=None, _depth=0):
         s = super().get_sample(index, rng, _depth)
         rec = self.metadata[index % len(self.metadata)]

@@ -97,6 +97,44 @@ def evaluate(
     return EvalResult(text_e, vid_e, sims, results, metas)
 
 
+def evaluate_multiple_choice(
+    params,
+    tower_cfg,
+    loader: ShardedLoader,
+    tokenizer,
+    max_text_len: int = 30,
+    mesh=None,
+) -> Dict[str, float]:
+    """Multiple-choice eval (LSMDC_choice): each sample carries candidate
+    captions in meta['choices'] with meta['answer']; score each candidate
+    against the clip embedding, accuracy = argmax hits."""
+    import jax
+
+    from oatx.models import towers
+    from oatx.train.step import make_augmenter
+
+    aug = make_augmenter(train=False, tower_cfg=tower_cfg)
+    vid_fn = jax.jit(lambda p, v: towers.compute_video(p, tower_cfg, v)["cls"])
+    txt_fn = jax.jit(lambda p, i, m: towers.compute_text(p, tower_cfg, i, m))
+    correct = total = 0
+    for batch in loader:
+        meta = batch.pop("meta", [])
+        fb = aug(jax.random.PRNGKey(0), {"video": jnp.asarray(batch["video"])})
+        v_emb = np.asarray(vid_fn(params, fb["video"]))
+        for i, m in enumerate(meta):
+            choices = m.get("choices")
+            if not choices:
+                continue
+            tok = tokenizer(list(choices), max_length=max_text_len)
+            t_emb = np.asarray(txt_fn(params, jnp.asarray(tok["input_ids"]),
+                                      jnp.asarray(tok["attention_mask"])))
+            sims = np.asarray(C.sim_matrix(jnp.asarray(t_emb), jnp.asarray(v_emb[i: i + 1])))
+            pred = int(np.argmax(sims[:, 0]))
+            correct += int(pred == int(m.get("answer", 0)))
+            total += 1
+    return {"accuracy": 100.0 * correct / max(total, 1), "n": total}
+
+
 def evaluate_streams(
     params,
     tower_cfg,

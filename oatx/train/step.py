@@ -42,6 +42,8 @@ class LossConfig:
     temperature: float = 0.05
     margin: float = 1.0
     region_bce_weight: float = 0.1     # trainer_region_mem.py:165
+    chunked: bool = False              # memory-efficient NormSoftmax (pod-scale
+    chunk_size: int = 4096             # global batches; see contrastive.py)
 
 
 def _pair_loss(sims: jnp.ndarray, loss_cfg: LossConfig) -> jnp.ndarray:
@@ -52,6 +54,16 @@ def _pair_loss(sims: jnp.ndarray, loss_cfg: LossConfig) -> jnp.ndarray:
     raise ValueError(f"unknown loss {loss_cfg.name!r}")
 
 
+def _embed_pair_loss(text_e: jnp.ndarray, video_e: jnp.ndarray,
+                     loss_cfg: LossConfig) -> jnp.ndarray:
+    """Contrastive loss from raw embeddings; routes to the chunked
+    (never-materialize-the-matrix) NormSoftmax when configured."""
+    if loss_cfg.chunked and loss_cfg.name == "NormSoftmaxLoss":
+        return C.norm_softmax_loss_chunked(
+            text_e, video_e, loss_cfg.temperature, chunk=loss_cfg.chunk_size)
+    return _pair_loss(C.sim_matrix(text_e, video_e), loss_cfg)
+
+
 def loss_fn(
     params: Params,
     cfg: towers.TowerConfig,
@@ -60,7 +72,7 @@ def loss_fn(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     if cfg.variant == "baseline":
         text_e, video_e = towers.forward_baseline(params, cfg, batch)
-        loss = _pair_loss(C.sim_matrix(text_e, video_e), loss_cfg)
+        loss = _embed_pair_loss(text_e, video_e, loss_cfg)
         return loss, {"loss": loss}
     if cfg.variant == "global_local":
         out = towers.forward_global_local(params, cfg, batch)

@@ -66,7 +66,8 @@ class Trainer:
         self.tower_cfg = build_tower_config(exp.arch, compute_dtype=compute_dtype)
         self.loss_cfg = steplib.LossConfig(
             name=exp.loss.type, temperature=exp.loss.temperature,
-            margin=exp.loss.margin, region_bce_weight=exp.loss.region_bce_weight)
+            margin=exp.loss.margin, region_bce_weight=exp.loss.region_bce_weight,
+            chunked=exp.loss.chunked, chunk_size=exp.loss.chunk_size)
 
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(
             model_parallel=t.model_parallel)
