@@ -1,0 +1,132 @@
+"""Embedding service entry point — HTTP JSON API over the compiled dual towers.
+
+    python -m oatx.cli.serve -c <config.json> [-r <ckpt>] --port 8600
+
+Endpoints:
+  GET  /healthz            → {"status": "ok"}
+  GET  /stats              → latency p50/p90/p99 per modality
+  POST /embed_text         → {"texts": [...]}            → {"embeddings": [[...]]}
+  POST /embed_video        → {"video_b64": <base64 npy>} → {"embeddings": [[...]]}
+                             (uint8 array (B, F, canon, canon, 3) saved with np.save)
+
+Serving is bucketed-batch compiled (oatx.serve.embed_service); warmup compiles
+all buckets before the socket opens so first-request latency is steady-state.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def build_service(argv):
+    import argparse
+
+    import jax
+
+    from oatx.cli.common import dataset_captions, resolve_tokenizer
+    from oatx.config.parser import build_argparser, load_experiment
+    from oatx.config.schema import build_tower_config
+    from oatx.models import towers
+    from oatx.serve.embed_service import EmbedService
+    from oatx.train import checkpoint as ckptlib
+
+    # strip our extra flags before the shared experiment parser sees them
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--port", type=int, default=8600)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--buckets", default="1,4,16")
+    our, rest = p.parse_known_args(argv)
+
+    exp = load_experiment(rest, test=True)
+    import jax.numpy as jnp
+
+    tower_cfg = build_tower_config(
+        exp.cfg.arch,
+        compute_dtype=jnp.bfloat16 if exp.cfg.trainer.precision == "bf16" else jnp.float32)
+    params = towers.init(jax.random.PRNGKey(0), tower_cfg)
+    ckpt = str(exp.resume) if exp.resume else exp.cfg.arch.load_checkpoint
+    if ckpt:
+        params = ckptlib.import_initial_weights(ckpt, tower_cfg, params)
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg) or ["a video"])
+    buckets = tuple(int(b) for b in our.buckets.split(","))
+    svc = EmbedService(params, tower_cfg, buckets=buckets)
+    svc.warmup(frames=exp.cfg.arch.video_params.num_frames)
+    return svc, tokenizer, our
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service = None
+    tokenizer = None
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _json(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            return self._json(200, {"status": "ok"})
+        if self.path == "/stats":
+            return self._json(200, self.service.latency_summary())
+        return self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError) as e:
+            return self._json(400, {"error": f"bad JSON: {e}"})
+        try:
+            if self.path == "/embed_text":
+                texts = req.get("texts")
+                if not texts or not isinstance(texts, list):
+                    return self._json(400, {"error": "'texts' must be a non-empty list"})
+                tok = self.tokenizer(texts, max_length=int(req.get("max_length", 30)))
+                emb = self.service.embed_text(tok["input_ids"], tok["attention_mask"])
+                return self._json(200, {"embeddings": emb.tolist()})
+            if self.path == "/embed_video":
+                b64 = req.get("video_b64")
+                if not b64:
+                    return self._json(400, {"error": "'video_b64' (base64 npy) required"})
+                arr = np.load(io.BytesIO(base64.b64decode(b64)), allow_pickle=False)
+                if arr.dtype != np.uint8 or arr.ndim != 5:
+                    return self._json(400, {
+                        "error": f"expected uint8 (B,F,H,W,3), got {arr.dtype} {arr.shape}"})
+                emb = self.service.embed_video(arr)
+                return self._json(200, {"embeddings": emb.tolist()})
+            return self._json(404, {"error": f"unknown path {self.path}"})
+        except Exception as e:  # surfaced, not swallowed
+            return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    svc, tokenizer, our = build_service(argv)
+    _Handler.service = svc
+    _Handler.tokenizer = tokenizer
+    server = ThreadingHTTPServer((our.host, our.port), _Handler)
+    print(json.dumps({"serving": f"http://{our.host}:{our.port}",
+                      "buckets": list(svc.buckets)}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,13 +135,9 @@ def spacetime_vit_overlay_torch(
     if "cls_token" in sd:
         out["cls_token"] = jnp.asarray(sd["cls_token"])
     if "pos_embed" in sd:
-        pos = jnp.asarray(sd["pos_embed"])
-        if pos.shape[1] != cfg.patches_per_frame + 1:
-            raise NotImplementedError(
-                "different spatial resolution / patch count not supported "
-                f"(got {pos.shape[1]}, want {cfg.patches_per_frame + 1})"
-            )
-        out["pos_embed"] = pos
+        # spatial grid resize supported (the reference raises here, model.py:153-159)
+        out["pos_embed"] = vst.inflate_spatial_embed(
+            jnp.asarray(sd["pos_embed"]), cfg.patches_per_frame)
     if "temporal_embed" in sd:
         out["temporal_embed"] = vst.inflate_temporal_embed(
             jnp.asarray(sd["temporal_embed"]), cfg.num_frames, temporal_fix

@@ -204,6 +204,24 @@ def apply(
     return out
 
 
+def inflate_spatial_embed(pos_embed: jnp.ndarray, target_patches: int) -> jnp.ndarray:
+    """Spatial positional-embedding resize when patch counts differ — bilinear
+    interpolation of the (g, g) grid, CLS slot preserved. The reference leaves
+    this unimplemented (model.py:153-159 raises); oatx supports it so lower/
+    higher-resolution finetunes can import checkpoints."""
+    n = pos_embed.shape[1] - 1
+    if n == target_patches:
+        return pos_embed
+    g_src = int(round(n ** 0.5))
+    g_dst = int(round(target_patches ** 0.5))
+    assert g_src * g_src == n and g_dst * g_dst == target_patches, \
+        f"non-square patch grids: {n} → {target_patches}"
+    cls, grid = pos_embed[:, :1], pos_embed[:, 1:]
+    grid = grid.reshape(1, g_src, g_src, -1)
+    grid = jax.image.resize(grid, (1, g_dst, g_dst, grid.shape[-1]), method="bilinear")
+    return jnp.concatenate([cls, grid.reshape(1, target_patches, -1)], axis=1)
+
+
 def inflate_temporal_embed(
     temporal_embed: jnp.ndarray, target_frames: int, mode: str = "zeros"
 ) -> jnp.ndarray:

@@ -126,6 +126,9 @@ class Trainer:
         # recovery there): SIGTERM/SIGUSR1 requests a checkpoint at the next step
         self._preempted = False
         self._install_preemption_handler()
+        from oatx.utils.watchdog import StepWatchdog
+
+        self.watchdog = StepWatchdog(timeout_s=900.0, logger=self.logger)
 
     def _install_preemption_handler(self) -> None:
         import signal
@@ -199,11 +202,13 @@ class Trainer:
         cycles_done = 0
         step_in_epoch = 0
         last_metrics = None
+        self.watchdog.start()
         for loader_idx, batch in device_prefetch(iter(multi), self.mesh):
             batch.pop("meta", None)
             self.state, metrics = self.train_step(self.state, batch)
             last_metrics = metrics
             step_in_epoch += 1
+            self.watchdog.beat()
             if loader_idx == len(self.train_loaders) - 1:
                 cycles_done += 1
             if self._preempted:
