@@ -48,13 +48,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         logger.info("no validation loaders (%s)", e)
         valid_loaders = []
 
-    trainer = Trainer(
-        exp.cfg, train_loaders, valid_loaders,
-        save_dir=exp.save_dir, log_dir=exp.log_dir,
-        linear_eval=bool(getattr(exp.args, "linear_eval", False)),
-        resume=str(exp.resume) if exp.resume else None,
-    )
-    trainer.train()
+    from oatx.utils.tracking import ExperimentTracker
+
+    with ExperimentTracker(exp.log_dir, exp.cfg.name, config=exp.cfg.raw,
+                           enabled=jax.process_index() == 0) as tracker:
+        trainer = Trainer(
+            exp.cfg, train_loaders, valid_loaders,
+            save_dir=exp.save_dir, log_dir=exp.log_dir,
+            linear_eval=bool(getattr(exp.args, "linear_eval", False)),
+            resume=str(exp.resume) if exp.resume else None,
+            tracker=tracker,
+        )
+        trainer.train()
     return 0
 
 

@@ -14,7 +14,8 @@ from typing import List
 import numpy as np
 
 from oatx.config.registry import DATASETS
-from oatx.data.datasets.base import TextImageDataset, TextVideoDataset
+from oatx.data.datasets.base import (TextImageDataset, TextImageTarDataset,
+                                     TextVideoDataset)
 
 
 def _read_tsv(path: str):
@@ -82,6 +83,29 @@ class ConceptualCaptions3M(TextImageDataset):
 
     def _get_object_path(self, rec, frame_index: int = 0):
         return os.path.join(self.object_dir, self.split, rec["file"], "1.npz")
+
+
+@DATASETS.register("ConceptualCaptions3MTar")
+class ConceptualCaptions3MTar(TextImageTarDataset):
+    """CC3M packed in tar shards: TSV (caption, '<shard>.tar/<member>') under
+    meta_data/cc3m_tar_<split>.tsv, shards under data_dir."""
+
+    SPLIT_FILES = {"train": "cc3m_tar_train.tsv", "val": "cc3m_tar_val.tsv",
+                   "test": "cc3m_tar_val.tsv"}
+
+    def _load_metadata(self):
+        fp = os.path.join(self.metadata_dir, "meta_data", self.SPLIT_FILES[self.split])
+        df = _read_tsv(fp)
+        self.metadata = [
+            {"caption": str(r[0]), "member": str(r[1])}
+            for r in df.itertuples(index=False)
+        ]
+
+    def _get_video_path(self, rec):
+        return os.path.join(self.data_dir, rec["member"]), rec["member"]
+
+    def _get_caption(self, rec, rng):
+        return rec["caption"]
 
 
 @DATASETS.register("MSRVTT")

@@ -273,3 +273,57 @@ class TextImageDataset(TextVideoDataset):
     def _read_video(self, path: str, rng, fix_start=None):
         frames = vr.decode_indices(path, [0], short_side=self.canon)
         return host_canonicalize(frames, self.canon), [0], 1
+
+
+class TextImageTarDataset(TextImageDataset):
+    """Images packed in tar shards (reference TextImageTarDataset,
+    base_dataset.py:408-416): per-thread tar handles (the reference isolates
+    handles per torch worker process; oatx's loader is thread-based, so handles
+    live in threading.local), members addressed as '<shard>.tar/<member>'.
+    """
+
+    def __init__(self, *args, **kwargs):
+        import threading
+
+        self._tls = threading.local()
+        super().__init__(*args, **kwargs)
+
+    def _tar_handle(self, tar_path: str):
+        import tarfile
+
+        cache = getattr(self._tls, "tars", None)
+        if cache is None:
+            cache = self._tls.tars = {}
+        if tar_path not in cache:
+            cache[tar_path] = tarfile.open(tar_path, "r")
+        return cache[tar_path]
+
+    def _read_video(self, path: str, rng, fix_start=None):
+        # path format: /abs/dir/<shard>.tar/<member...>
+        if ".tar/" not in path:
+            return super()._read_video(path, rng, fix_start)
+        tar_path, member = path.split(".tar/", 1)
+        tar_path += ".tar"
+        try:
+            tf = self._tar_handle(tar_path)
+            data = tf.extractfile(member)
+            if data is None:
+                raise vr.DecodeError(f"tar member missing: {path}")
+            frame = self._decode_image_bytes(data.read())
+        except (KeyError, OSError, Exception) as e:
+            if isinstance(e, vr.DecodeError):
+                raise
+            raise vr.DecodeError(f"tar read failed: {path}: {e}") from e
+        return host_canonicalize(frame[None], self.canon), [0], 1
+
+    def _decode_image_bytes(self, data: bytes) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(data)).convert("RGB")
+        w, h = im.size
+        scale = self.canon / min(w, h)
+        im = im.resize((max(self.canon, int(w * scale)),
+                        max(self.canon, int(h * scale))), Image.BILINEAR)
+        return np.asarray(im, np.uint8)

@@ -53,11 +53,13 @@ class Trainer:
         linear_eval: bool = False,
         resume: Optional[str] = None,
         mesh=None,
+        tracker=None,
     ):
         self.exp = exp
         t = exp.trainer
         self.logger = setup_logging(log_dir, "oatx.trainer", t.verbosity)
         self.writer = TensorboardWriter(log_dir)
+        self.tracker = tracker
         self.save_dir = Path(save_dir) if save_dir else None
         self.train_loaders = train_loaders
         self.valid_loaders = valid_loaders or []
@@ -175,6 +177,10 @@ class Trainer:
             for k, v in log.items():
                 if isinstance(v, (int, float)):
                     self.logger.info("    %-24s: %s", k, v)
+            if self.tracker is not None:
+                self.tracker.log_metrics(epoch, {k: v for k, v in log.items()
+                                                 if isinstance(v, (int, float))},
+                                         mode="epoch")
 
             best = False
             if self.monitor_mode != "off" and self.monitor_metric in log:
