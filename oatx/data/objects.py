@@ -37,12 +37,37 @@ def load_object_vocab(path: str) -> List[str]:
     return classes
 
 
+_NPZ_CACHE_SIZE = int(os.environ.get("OATX_NPZ_CACHE", "0"))
+_npz_cache: "OrderedDict[str, tuple]" = None  # type: ignore
+
+
+def set_npz_cache(size: int) -> None:
+    """Enable an LRU cache over object-npz reads (multi-epoch training re-reads
+    the same small files every epoch; the reference's memcache helper,
+    utils/util.py, served the same purpose). 0 disables."""
+    global _NPZ_CACHE_SIZE, _npz_cache
+    from collections import OrderedDict
+
+    _NPZ_CACHE_SIZE = size
+    _npz_cache = OrderedDict() if size > 0 else None
+
+
+if _NPZ_CACHE_SIZE > 0:
+    set_npz_cache(_NPZ_CACHE_SIZE)
+
+
 def _load_npz(object_path: str):
-    """Returns (features, boxes, object_ids, conf, image_w, image_h) or None on failure."""
+    """Returns (features, boxes, object_ids, conf, image_w, image_h) or None on
+    failure. Read-only tuples — safe to LRU-cache across loader threads."""
+    if _npz_cache is not None:
+        hit = _npz_cache.get(object_path)
+        if hit is not None:
+            _npz_cache.move_to_end(object_path)
+            return hit
     try:
         data = np.load(object_path, allow_pickle=True)
         info = data["info"].item()
-        return (
+        out = (
             np.asarray(data["x"], dtype=np.float32),
             np.asarray(data["bbox"], dtype=np.float32),
             np.asarray(info["objects_id"]),
@@ -50,8 +75,15 @@ def _load_npz(object_path: str):
             float(info["image_w"]),
             float(info["image_h"]),
         )
+        for a in out[:4]:
+            a.setflags(write=False)
     except (OSError, KeyError, ValueError, EOFError):
         return None
+    if _npz_cache is not None:
+        _npz_cache[object_path] = out
+        while len(_npz_cache) > _NPZ_CACHE_SIZE:
+            _npz_cache.popitem(last=False)
+    return out
 
 
 def _conf_sort(conf: np.ndarray) -> np.ndarray:

@@ -203,17 +203,20 @@ class Trainer:
             l.set_epoch(epoch)
         multi = MultiLoader(self.train_loaders)
         losses = [[] for _ in self.train_loaders]
+        # per-loader sampling period: fetching the loss forces a device sync, so
+        # sample sparsely (reference log_step = sqrt(batch), trainer_dist.py:87);
+        # counted PER LOADER so alternating multi-loader runs sample every stream
         log_step = max(1, int(np.sqrt(self.train_loaders[0].batch_size)))
+        steps_per_loader = [0] * len(self.train_loaders)
         t0 = time.time()
         cycles_done = 0
-        step_in_epoch = 0
         last_metrics = None
         self.watchdog.start()
         for loader_idx, batch in device_prefetch(iter(multi), self.mesh):
             batch.pop("meta", None)
             self.state, metrics = self.train_step(self.state, batch)
             last_metrics = metrics
-            step_in_epoch += 1
+            steps_per_loader[loader_idx] += 1
             self.watchdog.beat()
             if loader_idx == len(self.train_loaders) - 1:
                 cycles_done += 1
@@ -224,7 +227,7 @@ class Trainer:
                                             self.state, epoch, self.monitor_best)
                     self.logger.warning("preemption signal: checkpoint saved, exiting epoch")
                 break
-            if step_in_epoch % log_step == 0:
+            if (steps_per_loader[loader_idx] - 1) % log_step == 0:
                 loss = float(metrics["loss"])  # forces the chain (axon-safe timing)
                 losses[loader_idx].append(loss)
                 self.writer.set_step((epoch - 1) * self.cycles_per_epoch + cycles_done)
