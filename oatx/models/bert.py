@@ -30,6 +30,7 @@ class BertConfig:
     hidden_dim: int = 3072
     n_layers: int = 12
     n_heads: int = 12
+    scan_layers: bool = False  # unrolled is faster on TPU (see vit_spacetime)
 
 
 def _init_layer(rng: jax.Array, cfg: BertConfig) -> Params:
@@ -96,13 +97,18 @@ def apply(
          + embedding_lookup(emb["token_type"], token_type_ids))
     x = layer_norm(emb["ln"], x, LN_EPS).astype(dtype)
 
-    def body(xx, lp):
+    def layer(lp, xx):
         a = _mha(lp["attn"], xx, attention_mask, cfg.n_heads)
         xx = layer_norm(lp["attn_ln"], xx + a, LN_EPS)
         f = linear(lp["output"], gelu(linear(lp["intermediate"], xx)))
-        return layer_norm(lp["out_ln"], xx + f, LN_EPS), None
+        return layer_norm(lp["out_ln"], xx + f, LN_EPS)
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    if cfg.scan_layers:
+        x, _ = jax.lax.scan(lambda xx, lp: (layer(lp, xx), None), x, params["layers"])
+    else:
+        for i in range(cfg.n_layers):
+            lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+            x = layer(lp, x)
     pooled = jnp.tanh(linear(params["pooler"], x[:, 0].astype(jnp.float32)))
     return x, pooled
 

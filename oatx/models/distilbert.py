@@ -32,6 +32,7 @@ class DistilBertConfig:
     hidden_dim: int = 3072
     n_layers: int = 6
     n_heads: int = 12
+    scan_layers: bool = False  # unrolled is faster on TPU (see vit_spacetime)
 
 
 def _init_layer(rng: jax.Array, cfg: DistilBertConfig) -> Params:
@@ -101,10 +102,15 @@ def apply(
     x = embedding_lookup(emb["word"], input_ids) + pos
     x = layer_norm(emb["ln"], x, LN_EPS).astype(dtype)
 
-    def body(xx, lp):
-        return _layer_apply(cfg, lp, xx, attention_mask), None
+    if cfg.scan_layers:
+        def body(xx, lp):
+            return _layer_apply(cfg, lp, xx, attention_mask), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+        x, _ = jax.lax.scan(body, x, params["layers"])
+    else:
+        for i in range(cfg.n_layers):
+            lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+            x = _layer_apply(cfg, lp, x, attention_mask)
     return x
 
 
