@@ -187,15 +187,21 @@ class MultiLoader:
 
     def __iter__(self):
         its = [iter(l) for l in self.loaders]
-        while True:
-            batches = []
-            try:
-                for it in its:
-                    batches.append(next(it))
-            except StopIteration:
-                return
-            for i, b in enumerate(batches):
-                yield i, b
+        try:
+            while True:
+                batches = []
+                try:
+                    for it in its:
+                        batches.append(next(it))
+                except StopIteration:
+                    return
+                for i, b in enumerate(batches):
+                    yield i, b
+        finally:
+            for it in its:  # release loader thread pools on early exit
+                close = getattr(it, "close", None)
+                if close is not None:
+                    close()
 
 
 def pad_batch(batch: Dict[str, Any], multiple: int):
@@ -221,7 +227,11 @@ def padded_batches(iterator, multiple: int):
 
 def device_prefetch(iterator, mesh=None, depth: int = 2):
     """Move numpy batches onto the mesh ahead of consumption (double-buffered).
-    Strings/metadata stay on host."""
+    Strings/metadata stay on host.
+
+    Early-exit safe: if the consumer stops iterating (epoch sample cap,
+    preemption), the producer thread is unblocked and the source iterator is
+    closed — no leaked threads or loader pools across epochs."""
     import jax
 
     from oatx.parallel.mesh import batch_sharding
@@ -240,28 +250,54 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     END = object()
+    stop = threading.Event()
+
+    def enqueue(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
                 if isinstance(item, tuple):  # (idx, batch) or (batch, n_valid)
                     a, b = item
-                    if isinstance(a, dict):
-                        q.put((put(a), b))
-                    else:
-                        q.put((a, put(b)))
+                    prepared = (put(a), b) if isinstance(a, dict) else (a, put(b))
                 else:
-                    q.put(put(item))
-            q.put(END)
+                    prepared = put(item)
+                if not enqueue(prepared):
+                    break
+            else:
+                enqueue(END)
         except BaseException as e:  # propagate errors to consumer
-            q.put(e)
+            enqueue(e)
+        finally:
+            close = getattr(iterator, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # drain so a blocked producer can observe stop and exit
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5)
