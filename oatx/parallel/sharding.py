@@ -23,8 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from oatx.parallel.mesh import MODEL_AXIS
 
-_COL_PARALLEL = ("fc1", "lin1", "qkv", "q", "k", "v")
-_ROW_PARALLEL = ("fc2", "lin2", "proj", "out")
+_COL_PARALLEL = ("fc1", "lin1", "qkv", "q", "k", "v", "intermediate")
+_ROW_PARALLEL = ("fc2", "lin2", "proj", "out", "output")
 
 
 def _spec_for(path: Tuple[str, ...], leaf) -> P:
@@ -42,18 +42,28 @@ def _spec_for(path: Tuple[str, ...], leaf) -> P:
     return P()
 
 
-def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching `params`."""
+def param_specs(params: Dict[str, Any], mesh: Mesh = None) -> Dict[str, Any]:
+    """PartitionSpec pytree matching `params`. When a mesh is given, any leaf
+    whose sharded dimension is not divisible by the model-axis size falls back
+    to replication (explicit device_put requires even shards)."""
+    model_size = mesh.shape[MODEL_AXIS] if mesh is not None else 1
+
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
-        return _spec_for(path, tree)
+        spec = _spec_for(path, tree)
+        if mesh is not None and model_size > 1:
+            for dim, axis in enumerate(spec):
+                if axis == MODEL_AXIS and tree.shape[dim] % model_size != 0:
+                    return P()
+        return spec
+
     return walk(params, ())
 
 
 def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
     return jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), param_specs(params),
+        lambda spec: NamedSharding(mesh, spec), param_specs(params, mesh),
         is_leaf=lambda x: isinstance(x, P),
     )
 

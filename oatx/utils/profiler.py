@@ -76,3 +76,26 @@ def annotate(name: str):
 
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+def memory_summary() -> Dict[str, float]:
+    """Host RSS + per-device HBM usage in MB (reference utils/util.py
+    memory_summary equivalent, device-aware)."""
+    out: Dict[str, float] = {}
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    out["host_rss_mb"] = float(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    try:
+        import jax
+
+        for d in jax.local_devices():
+            stats = d.memory_stats() or {}
+            if "bytes_in_use" in stats:
+                out[f"{d.platform}{d.id}_hbm_mb"] = stats["bytes_in_use"] / 1e6
+    except Exception:
+        pass
+    return out

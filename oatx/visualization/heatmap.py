@@ -122,6 +122,25 @@ def render_heatmap_frame(
     return panel
 
 
+def render_featmap(
+    patch_embeds: np.ndarray,
+    frame_rgb: np.ndarray,
+    out_path: Optional[str] = None,
+) -> np.ndarray:
+    """Feature-map-only mode (reference feat_map_visualize, visualize.py:92-117):
+    channel-mean of the patch embeddings as a CAM, JET-blended with the frame,
+    concatenated with the raw frame."""
+    n = patch_embeds.shape[0]
+    g = int(round(np.sqrt(n)))
+    cam = np.mean(np.asarray(patch_embeds, np.float32), axis=-1).reshape(g, g)
+    panel = render_heatmap_frame(_normalize01(cam).reshape(-1), frame_rgb)
+    if out_path:
+        from PIL import Image
+
+        Image.fromarray(panel).save(out_path)
+    return panel
+
+
 def render_caption_heatmaps(
     caption: str,
     word_embeds: Sequence[np.ndarray],
