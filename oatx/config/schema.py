@@ -252,6 +252,8 @@ class TrainerCfg:
     precision: str = "bf16"
     model_parallel: int = 1
     seed: int = 0
+    accum_steps: int = 1       # gradient accumulation micro-steps
+    zero1: bool = False        # shard optimizer state over the data axis
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainerCfg":

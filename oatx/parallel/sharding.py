@@ -71,3 +71,26 @@ def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
 def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
     sh = param_shardings(mesh, params)
     return jax.tree_util.tree_map(jax.device_put, params, sh)
+
+
+def shard_opt_state_zero1(mesh: Mesh, opt_state) -> Any:
+    """ZeRO-1-style optimizer-state sharding: every optimizer moment tensor is
+    sharded over the DATA axis on its first divisible dimension (the reference
+    has no optimizer sharding — SURVEY.md §2.5 lists it as the pjit freebie).
+    GSPMD keeps the update math correct; XLA gathers/scatters as needed, so on
+    an N-way data mesh the Adam moments cost 1/N HBM per chip."""
+    from oatx.parallel.mesh import DATA_AXIS
+
+    data_size = mesh.shape[DATA_AXIS]
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or data_size <= 1:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        for dim in range(x.ndim):
+            if x.shape[dim] % data_size == 0 and x.shape[dim] >= data_size:
+                spec = [None] * x.ndim
+                spec[dim] = DATA_AXIS
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, opt_state)

@@ -126,19 +126,51 @@ def make_train_step(
     donate: bool = True,
     augment: Optional[Callable] = None,
     base_rng: Optional[jax.Array] = None,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. State is donated (params updated in place in
     HBM). Shard the batch over the mesh's data axis before calling. If `augment`
-    is given it runs inside the step with a per-step rng folded from base_rng."""
+    is given it runs inside the step with a per-step rng folded from base_rng.
+
+    accum_steps > 1 splits the batch into micro-batches scanned inside the step,
+    averaging gradients before one optimizer update (memory ↔ step-size trade;
+    the reference has no equivalent — SURVEY.md §2.5). NOTE: with the
+    contrastive loss, negatives then span a micro-batch rather than the full
+    batch — the loss value reflects micro-batch negatives, like training with a
+    smaller batch at the same optimizer cadence."""
     if base_rng is None:
         base_rng = jax.random.PRNGKey(0)
+
+    def grads_of(params, batch):
+        return jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, loss_cfg, batch)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if augment is not None:
             rng = jax.random.fold_in(base_rng, state.step)
             batch = augment(rng, batch)
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, cfg, loss_cfg, batch)
+        if accum_steps <= 1:
+            (loss, metrics), grads = grads_of(state.params, batch)
+        else:
+            def split(x):
+                if x.shape[0] % accum_steps != 0:
+                    raise ValueError(
+                        f"batch size {x.shape[0]} not divisible by "
+                        f"accum_steps={accum_steps}")
+                return x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:])
+
+            micro = {k: split(v) for k, v in batch.items()}
+
+            def body(carry, mb):
+                (l, m), g = grads_of(state.params, mb)
+                acc, lacc = carry
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return (acc, lacc + l), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.float32(0)), micro)
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, gsum)
+            loss = lsum / accum_steps
+            metrics = {"loss": loss}
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)

@@ -103,6 +103,11 @@ class Trainer:
                 temporal_fix=exp.arch.load_temporal_fix)
         params = shardlib.shard_params(self.mesh, params)
         self.state = steplib.init_state(rng, self.tower_cfg, self.optimizer, params=params)
+        if t.zero1:
+            self.state = steplib.TrainState(
+                self.state.params,
+                shardlib.shard_opt_state_zero1(self.mesh, self.state.opt_state),
+                self.state.step)
 
         self.start_epoch = 1
         self.monitor_mode, self.monitor_metric = self._parse_monitor(t.monitor)
@@ -120,7 +125,8 @@ class Trainer:
         self.augment = steplib.make_augmenter(train=True, tower_cfg=self.tower_cfg)
         self.train_step = steplib.make_train_step(
             self.tower_cfg, self.loss_cfg, self.optimizer,
-            augment=self.augment, base_rng=jax.random.PRNGKey(t.seed + 1))
+            augment=self.augment, base_rng=jax.random.PRNGKey(t.seed + 1),
+            accum_steps=t.accum_steps)
         self.eval_step = steplib.make_eval_step(self.tower_cfg)
         self.not_improved = 0
 
