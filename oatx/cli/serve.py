@@ -44,6 +44,9 @@ def build_service(argv):
     p.add_argument("--buckets", default="1,4,16")
     our, rest = p.parse_known_args(argv)
 
+    from oatx.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     exp = load_experiment(rest, test=True)
     import jax.numpy as jnp
 

@@ -30,6 +30,9 @@ from oatx.utils.logging import setup_logging
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    from oatx.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     exp = load_experiment(argv, test=True)
     logger = setup_logging(None, "oatx.test", exp.cfg.trainer.verbosity)
     split = exp.args.split or "test"

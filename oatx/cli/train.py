@@ -30,6 +30,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if os.environ.get("OATX_MULTIHOST") == "1":
         # multi-host pod: coordinator/process info from the TPU runtime env
         jax.distributed.initialize()
+    from oatx.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     exp = load_experiment(argv)
     logger = setup_logging(exp.log_dir, "oatx", exp.cfg.trainer.verbosity)
     logger.info("experiment %s → %s", exp.cfg.name, exp.save_dir)
