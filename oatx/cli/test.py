@@ -63,6 +63,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if stride != -1:
         logger.info("sliding-window ensembling, stride %d", stride)
         ds.expand_sliding_windows(stride)
+    if getattr(exp.args, "all_captions", False):
+        qpv = ds.expand_eval_captions()
+        logger.info("full-cut protocol: %d caption slots per video", qpv)
     loader = ShardedLoader(
         ds, batch_size=dl.batch_size, collate=Collator(tokenizer),
         shuffle=False, drop_last=False, num_workers=dl.num_workers)

@@ -51,6 +51,9 @@ def build_argparser(custom_args: Sequence[CustomArg] = ()) -> argparse.ArgumentP
     p.add_argument("--no_timestamp", action="store_true")
     p.add_argument("--save_dir", default=None, type=str, help="override trainer.save_dir")
     p.add_argument("--sliding_window_stride", default=-1, type=int)
+    p.add_argument("--all_captions", action="store_true",
+                   help="full-cut eval: every caption as a query, query masks for "
+                        "videos with fewer captions")
     p.add_argument("--split", default=None, type=str)
     for flags, typ, _ in list(custom_args) + DEFAULT_CUSTOM_ARGS:
         p.add_argument(*flags, default=None, type=typ)

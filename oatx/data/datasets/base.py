@@ -136,6 +136,31 @@ class TextVideoDataset:
                 expanded.append(r)
         self.metadata = expanded
 
+    def expand_eval_captions(self, queries_per_video: Optional[int] = None) -> int:
+        """Explode each multi-caption record into one row per caption slot for the
+        full-cut eval protocol (MSR-VTT full-val/full-test: ~20 captions/video;
+        reference metric.py:16-120 consumes the resulting pseudo-rectangular sims
+        with query masks for videos with fewer captions).
+
+        Rows gain caption_group (video index) and caption_valid (0 for padded
+        slots of videos with fewer captions). Returns queries_per_video."""
+        qpv = queries_per_video or max(
+            len(rec.get("captions", [None])) for rec in self.metadata)
+        expanded: List[Any] = []
+        for gid, rec in enumerate(self.metadata):
+            caps = rec.get("captions")
+            if caps is None:
+                caps = [rec.get("caption", "")]
+            for ci in range(qpv):
+                r = dict(rec)
+                valid = ci < len(caps)
+                r["captions"] = [caps[ci] if valid else caps[0]]
+                r["caption_group"] = gid
+                r["caption_valid"] = int(valid)
+                expanded.append(r)
+        self.metadata = expanded
+        return qpv
+
     def _frame_sample_mode(self) -> str:
         return "uniform" if self.split == "test" else "rand"
 
@@ -189,6 +214,9 @@ class TextVideoDataset:
         }
         if isinstance(rec, dict) and "window_group" in rec:
             sample["meta"]["window_group"] = rec["window_group"]
+        if isinstance(rec, dict) and "caption_group" in rec:
+            sample["meta"]["caption_group"] = rec["caption_group"]
+            sample["meta"]["caption_valid"] = rec["caption_valid"]
         self._add_object_extras(sample, rec, idxs, vlen, rng)
         return sample
 

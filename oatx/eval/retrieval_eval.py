@@ -86,13 +86,22 @@ def evaluate(
         groups = np.asarray([m["window_group"] for m in metas])
         text_e, vid_e = ensemble_windows(text_e, vid_e, groups)
 
+    if metas and "caption_group" in metas[0]:
+        # full-cut protocol: all caption rows vs one video embed per group,
+        # query masks for padded caption slots (reference metric.py query_masks)
+        groups = np.asarray([m["caption_group"] for m in metas])
+        first = np.unique(groups, return_index=True)[1]
+        vid_e = vid_e[np.sort(first)]
+        if query_masks is None:
+            query_masks = np.asarray([m.get("caption_valid", 1) for m in metas])
+
     sims = np.asarray(C.sim_matrix(jnp.array(text_e), jnp.array(vid_e)))
     results: Dict[str, Dict[str, float]] = {}
     for name in metric_names:
         fn = METRICS.get(name)
-        try:
-            results[name] = fn(sims, query_masks) if query_masks is not None else fn(sims)
-        except TypeError:
+        if query_masks is not None:
+            results[name] = fn(sims, query_masks)
+        else:
             results[name] = fn(sims)
     return EvalResult(text_e, vid_e, sims, results, metas)
 

@@ -87,6 +87,9 @@ def apply(
 ):
     """→ (last_hidden_state (B,T,D), pooler_output (B,D))."""
     b, t = input_ids.shape
+    assert t <= cfg.max_position_embeddings, (
+        f"sequence length {t} > max_position_embeddings "
+        f"{cfg.max_position_embeddings}")
     if attention_mask is None:
         attention_mask = jnp.ones((b, t), jnp.int32)
     if token_type_ids is None:

@@ -95,6 +95,9 @@ def apply(
 ) -> jnp.ndarray:
     """→ last_hidden_state (B, T, D). CLS embedding = [:, 0]."""
     b, t = input_ids.shape
+    assert t <= cfg.max_position_embeddings, (
+        f"sequence length {t} > max_position_embeddings "
+        f"{cfg.max_position_embeddings}")
     if attention_mask is None:
         attention_mask = jnp.ones((b, t), jnp.int32)
     emb = params["embeddings"]

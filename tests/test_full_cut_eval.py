@@ -1,0 +1,83 @@
+"""Full-cut eval protocol: every caption a query, query masks for videos with
+fewer captions (MSR-VTT full-val/full-test semantics)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from oatx.config.schema import DataLoaderCfg
+from oatx.data import video_reader as vr
+from oatx.data.factory import build_dataset
+from oatx.data.loader import Collator, ShardedLoader
+from oatx.data.tokenizer import WordPieceTokenizer
+from oatx.eval.retrieval_eval import evaluate
+from oatx.models import towers, distilbert as dbert, vit_spacetime as vst
+
+
+@pytest.fixture(scope="module")
+def msrvtt_full(tmp_path_factory):
+    root = tmp_path_factory.mktemp("msrvtt_full")
+    vids = [f"video{i}" for i in range(4)]
+    ann = {"annotations": []}
+    for i, v in enumerate(vids):
+        p = root / "videos" / "all" / f"{v}.mp4"
+        os.makedirs(p.parent, exist_ok=True)
+        vr.write_test_video(str(p), 96, 64, 12, 8)
+        ncaps = 2 if i == 0 else 3  # first video has FEWER captions
+        for c in range(ncaps):
+            ann["annotations"].append({"image_id": v, "caption": f"cap {i} {c}"})
+    (root / "annotation").mkdir()
+    (root / "annotation" / "MSR_VTT.json").write_text(json.dumps(ann))
+    sdir = root / "high-quality" / "structured-symlinks"
+    sdir.mkdir(parents=True)
+    (sdir / "train_list_full.txt").write_text("")
+    (sdir / "test_list_full.txt").write_text("\n".join(vids))
+    return root
+
+
+def test_expand_eval_captions(msrvtt_full):
+    cfg = DataLoaderCfg(dataset_name="MSRVTT", data_dir=str(msrvtt_full),
+                        metadata_dir=str(msrvtt_full), cut="full-test",
+                        split="test", video_params={"num_frames": 1, "loading": "lax"})
+    ds = build_dataset(cfg, "baseline", "test")
+    assert len(ds) == 4
+    qpv = ds.expand_eval_captions()
+    assert qpv == 3
+    assert len(ds) == 12
+    s0 = ds.get_sample(0, np.random.default_rng(0))
+    assert s0["meta"]["caption_group"] == 0 and s0["meta"]["caption_valid"] == 1
+    s2 = ds.get_sample(2, np.random.default_rng(0))  # padded slot of video0
+    assert s2["meta"]["caption_valid"] == 0
+    # caption rows contiguous per video in video order
+    groups = [ds.get_sample(i)["meta"]["caption_group"] for i in range(12)]
+    assert groups == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_full_cut_evaluate_applies_masks(msrvtt_full):
+    cfg = DataLoaderCfg(dataset_name="MSRVTT", data_dir=str(msrvtt_full),
+                        metadata_dir=str(msrvtt_full), cut="full-test",
+                        split="test", video_params={"num_frames": 1, "loading": "lax"})
+    ds = build_dataset(cfg, "baseline", "test")
+    ds.expand_eval_captions()
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"cap {i} {c}" for i in range(4) for c in range(3)], vocab_size=128)
+    tcfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=1, num_heads=2, num_frames=1),
+        text=dbert.DistilBertConfig(vocab_size=128, max_position_embeddings=16,
+                                    dim=32, hidden_dim=64, n_layers=1, n_heads=2),
+        projection_dim=8)
+    params = towers.init(jax.random.PRNGKey(0), tcfg)
+    loader = ShardedLoader(ds, batch_size=4, collate=Collator(tok, max_text_len=12),
+                           shuffle=False, drop_last=False, num_workers=2)
+    res = evaluate(params, tcfg, loader)
+    # sims: 12 caption rows x 4 unique videos; metrics over 11 valid queries
+    assert res.sims.shape == (12, 4)
+    m = res.metrics["t2v_metrics"]
+    assert 0.0 <= m["R1"] <= 100.0
+    # R@50 must be 100 with only 4 videos and masked invalid query
+    assert m["R50"] == 100.0
