@@ -19,12 +19,15 @@ import numpy as np
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     p = argparse.ArgumentParser(add_help=False)
-    p.add_argument("--video", required=True)
-    p.add_argument("--caption", required=True)
+    p.add_argument("--video")
+    p.add_argument("--caption")
     p.add_argument("--out", default="heatmap")
     p.add_argument("--frame-index", type=int, default=None,
                    help="absolute frame to visualize (default: middle)")
     our, rest = p.parse_known_args(argv)
+    if "-h" not in (rest or []) and "--help" not in (rest or []):
+        if not our.video or not our.caption:
+            p.error("--video and --caption are required")
 
     import jax
     import jax.numpy as jnp
