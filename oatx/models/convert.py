@@ -207,3 +207,95 @@ def frozen_in_time_from_torch(
     if "txt_proj_2.weight" in sd:  # region-memory variant CLIP projection
         out["txt_proj_2"] = _dense(sd, "txt_proj_2")
     return out
+
+
+# ------------------------------------------------------------ export to torch
+
+def _t_out(kernel) -> np.ndarray:
+    """jax kernel (in, out) → torch Linear weight (out, in)."""
+    return np.ascontiguousarray(np.asarray(kernel).T)
+
+
+def frozen_in_time_to_torch(
+    params: Params, video_cfg: vst.SpaceTimeViTConfig, text_family: str = "distilbert"
+) -> Dict[str, np.ndarray]:
+    """oatx dual-tower params → a reference-style FrozenInTime state_dict
+    (video_model.* / text_model.* / txt_proj.1 / vid_proj.0), so oatx-trained
+    weights drop into torch eval harnesses built for the reference. Round-trips
+    with frozen_in_time_from_torch (tested)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    v = params["video"]
+    sd["video_model.patch_embed.proj.weight"] = np.ascontiguousarray(
+        np.asarray(v["patch_embed"]["kernel"]).transpose(3, 2, 0, 1))
+    sd["video_model.patch_embed.proj.bias"] = np.asarray(v["patch_embed"]["bias"])
+    sd["video_model.cls_token"] = np.asarray(v["cls_token"])
+    sd["video_model.pos_embed"] = np.asarray(v["pos_embed"])
+    sd["video_model.temporal_embed"] = np.asarray(v["temporal_embed"])
+    sd["video_model.norm.weight"] = np.asarray(v["norm"]["scale"])
+    sd["video_model.norm.bias"] = np.asarray(v["norm"]["bias"])
+    if "region_norm" in v:
+        sd["video_model.region_norm.weight"] = np.asarray(v["region_norm"]["scale"])
+        sd["video_model.region_norm.bias"] = np.asarray(v["region_norm"]["bias"])
+    for i in range(video_cfg.depth):
+        bp = jax.tree_util.tree_map(lambda a: a[i], v["blocks"])
+        p = f"video_model.blocks.{i}"
+        for ln in ("norm1", "norm2", "norm3"):
+            sd[f"{p}.{ln}.weight"] = np.asarray(bp[ln]["scale"])
+            sd[f"{p}.{ln}.bias"] = np.asarray(bp[ln]["bias"])
+        for attn_name in ("attn", "timeattn"):
+            sd[f"{p}.{attn_name}.qkv.weight"] = _t_out(bp[attn_name]["qkv"]["kernel"])
+            sd[f"{p}.{attn_name}.qkv.bias"] = np.asarray(bp[attn_name]["qkv"]["bias"])
+            sd[f"{p}.{attn_name}.proj.weight"] = _t_out(bp[attn_name]["proj"]["kernel"])
+            sd[f"{p}.{attn_name}.proj.bias"] = np.asarray(bp[attn_name]["proj"]["bias"])
+        sd[f"{p}.mlp.fc1.weight"] = _t_out(bp["mlp"]["fc1"]["kernel"])
+        sd[f"{p}.mlp.fc1.bias"] = np.asarray(bp["mlp"]["fc1"]["bias"])
+        sd[f"{p}.mlp.fc2.weight"] = _t_out(bp["mlp"]["fc2"]["kernel"])
+        sd[f"{p}.mlp.fc2.bias"] = np.asarray(bp["mlp"]["fc2"]["bias"])
+
+    t = params["text"]
+    if text_family != "distilbert":
+        raise NotImplementedError("export currently covers the distilbert tower")
+    sd["text_model.embeddings.word_embeddings.weight"] = np.asarray(t["embeddings"]["word"])
+    sd["text_model.embeddings.position_embeddings.weight"] = np.asarray(t["embeddings"]["position"])
+    sd["text_model.embeddings.LayerNorm.weight"] = np.asarray(t["embeddings"]["ln"]["scale"])
+    sd["text_model.embeddings.LayerNorm.bias"] = np.asarray(t["embeddings"]["ln"]["bias"])
+    n_layers = t["layers"]["sa_ln"]["scale"].shape[0]
+    for i in range(n_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i], t["layers"])
+        p = f"text_model.transformer.layer.{i}"
+        for src, dst in (("q", "q_lin"), ("k", "k_lin"), ("v", "v_lin"), ("out", "out_lin")):
+            sd[f"{p}.attention.{dst}.weight"] = _t_out(lp["attn"][src]["kernel"])
+            sd[f"{p}.attention.{dst}.bias"] = np.asarray(lp["attn"][src]["bias"])
+        sd[f"{p}.sa_layer_norm.weight"] = np.asarray(lp["sa_ln"]["scale"])
+        sd[f"{p}.sa_layer_norm.bias"] = np.asarray(lp["sa_ln"]["bias"])
+        sd[f"{p}.ffn.lin1.weight"] = _t_out(lp["ffn"]["lin1"]["kernel"])
+        sd[f"{p}.ffn.lin1.bias"] = np.asarray(lp["ffn"]["lin1"]["bias"])
+        sd[f"{p}.ffn.lin2.weight"] = _t_out(lp["ffn"]["lin2"]["kernel"])
+        sd[f"{p}.ffn.lin2.bias"] = np.asarray(lp["ffn"]["lin2"]["bias"])
+        sd[f"{p}.output_layer_norm.weight"] = np.asarray(lp["out_ln"]["scale"])
+        sd[f"{p}.output_layer_norm.bias"] = np.asarray(lp["out_ln"]["bias"])
+
+    if "txt_proj" in params:
+        sd["txt_proj.1.weight"] = _t_out(params["txt_proj"]["kernel"])
+        sd["txt_proj.1.bias"] = np.asarray(params["txt_proj"]["bias"])
+    if "vid_proj" in params:
+        sd["vid_proj.0.weight"] = _t_out(params["vid_proj"]["kernel"])
+        sd["vid_proj.0.bias"] = np.asarray(params["vid_proj"]["bias"])
+    if "txt_proj_2" in params:
+        sd["txt_proj_2.weight"] = _t_out(params["txt_proj_2"]["kernel"])
+        sd["txt_proj_2.bias"] = np.asarray(params["txt_proj_2"]["bias"])
+    return sd
+
+
+def export_torch_checkpoint(path: str, params: Params,
+                            video_cfg: vst.SpaceTimeViTConfig,
+                            epoch: int = 0) -> str:
+    """Write a reference-compatible .pth ({'state_dict': ..., 'epoch': ...})."""
+    import torch
+
+    sd = frozen_in_time_to_torch(params, video_cfg)
+    torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()},
+                "epoch": epoch}, path)
+    return path

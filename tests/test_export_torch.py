@@ -1,0 +1,70 @@
+"""oatx → torch export roundtrip: export a trained-ish param tree as a
+reference-style .pth, import it back, embeddings must be identical."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from oatx.models import convert, towers, distilbert as dbert, vit_spacetime as vst
+
+
+def test_export_import_roundtrip(tmp_path, rng):
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=2, num_heads=2, num_frames=2),
+        text=dbert.DistilBertConfig(vocab_size=64, max_position_embeddings=16,
+                                    dim=32, hidden_dim=64, n_layers=2, n_heads=2),
+        projection_dim=8)
+    params = towers.init(jax.random.PRNGKey(3), cfg)
+    # randomize the zero-init time attention so the roundtrip covers it
+    params["video"]["blocks"]["timeattn"]["qkv"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(4), (2, 32, 96)) * 0.02)
+
+    path = str(tmp_path / "export.pth")
+    convert.export_torch_checkpoint(path, params, cfg.video)
+
+    sd = convert.load_torch_checkpoint(path)
+    back = convert.frozen_in_time_from_torch(
+        sd, cfg.video, cfg.text, fresh_video_params=params["video"])
+
+    batch = {
+        "video": jnp.array(rng.standard_normal((2, 2, 32, 32, 3)), jnp.float32),
+        "input_ids": jnp.array(rng.integers(0, 64, (2, 8))),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    t0, v0 = towers.forward_baseline(params, cfg, batch)
+    t1, v1 = towers.forward_baseline(back, cfg, batch)
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
+
+
+def test_export_names_match_reference_schema(tmp_path):
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=1, num_heads=2, num_frames=1),
+        text=dbert.DistilBertConfig(vocab_size=64, max_position_embeddings=16,
+                                    dim=32, hidden_dim=64, n_layers=1, n_heads=2),
+        projection_dim=8)
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    sd = convert.frozen_in_time_to_torch(params, cfg.video)
+    expect = [
+        "video_model.patch_embed.proj.weight", "video_model.cls_token",
+        "video_model.pos_embed", "video_model.temporal_embed",
+        "video_model.blocks.0.attn.qkv.weight",
+        "video_model.blocks.0.timeattn.proj.bias",
+        "video_model.blocks.0.mlp.fc1.weight", "video_model.norm.weight",
+        "text_model.embeddings.word_embeddings.weight",
+        "text_model.transformer.layer.0.attention.q_lin.weight",
+        "text_model.transformer.layer.0.ffn.lin2.bias",
+        "text_model.transformer.layer.0.output_layer_norm.weight",
+        "txt_proj.1.weight", "vid_proj.0.weight",
+    ]
+    for k in expect:
+        assert k in sd, k
+    # torch Linear layout: (out, in)
+    assert sd["video_model.blocks.0.attn.qkv.weight"].shape == (96, 32)
+    assert sd["video_model.patch_embed.proj.weight"].shape == (32, 3, 16, 16)
