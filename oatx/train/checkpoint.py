@@ -32,8 +32,10 @@ def save_checkpoint(
     epoch: int,
     monitor_best: float,
     keep: Optional[int] = None,
+    extra_meta: Optional[Dict[str, Any]] = None,
 ) -> Path:
-    """Save under ckpt_dir/name (an Orbax StandardCheckpointer snapshot)."""
+    """Save under ckpt_dir/name (an Orbax StandardCheckpointer snapshot).
+    extra_meta: e.g. {'cycles_done': N} for mid-epoch preemption snapshots."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).resolve()
@@ -45,9 +47,12 @@ def save_checkpoint(
             "opt_state": state.opt_state,
             "step": state.step,
         }), force=True)
+    meta = {"epoch": int(epoch), "monitor_best": float(monitor_best),
+            "step": int(state.step)}
+    if extra_meta:
+        meta.update(extra_meta)
     with open(ckpt_dir / f"{name}.meta.json", "w") as f:
-        json.dump({"epoch": int(epoch), "monitor_best": float(monitor_best),
-                   "step": int(state.step)}, f)
+        json.dump(meta, f)
     if keep is not None:
         _gc_old(ckpt_dir, keep)
     return path

@@ -118,9 +118,18 @@ class Trainer:
                 shardlib.shard_params(self.mesh, restored["params"]),
                 jax.tree_util.tree_map(jnp.asarray, restored["opt_state"]),
                 jnp.asarray(restored["step"]))
-            self.start_epoch = meta["epoch"] + 1
+            self._resume_cycle = 0
+            if meta.get("cycles_done") is not None and \
+                    int(meta["cycles_done"]) < self.cycles_per_epoch:
+                # mid-epoch preemption snapshot: continue INSIDE that epoch
+                self.start_epoch = meta["epoch"]
+                self._resume_cycle = int(meta["cycles_done"])
+                self.logger.info("resumed mid-epoch from %s (epoch %d, cycle %d)",
+                                 resume, meta["epoch"], self._resume_cycle)
+            else:
+                self.start_epoch = meta["epoch"] + 1
+                self.logger.info("resumed from %s at epoch %d", resume, meta["epoch"])
             self.monitor_best = meta["monitor_best"]
-            self.logger.info("resumed from %s at epoch %d", resume, meta["epoch"])
 
         self.augment = steplib.make_augmenter(train=True, tower_cfg=self.tower_cfg)
         self.train_step = steplib.make_train_step(
@@ -173,7 +182,8 @@ class Trainer:
                                               if isinstance(v, float)})
         for epoch in range(self.start_epoch, t.epochs + 1):
             log = {"epoch": epoch}
-            log.update(self._train_epoch(epoch))
+            start_cycle = getattr(self, "_resume_cycle", 0) if epoch == self.start_epoch else 0
+            log.update(self._train_epoch(epoch, start_cycle=start_cycle))
             if self._preempted:
                 self.logger.warning("stopping after preemption checkpoint (epoch %d)", epoch)
                 break
@@ -204,7 +214,11 @@ class Trainer:
                 self._save(epoch, best)
         return history
 
-    def _train_epoch(self, epoch: int) -> Dict[str, float]:
+    def _train_epoch(self, epoch: int, start_cycle: int = 0) -> Dict[str, float]:
+        """start_cycle > 0 resumes mid-epoch after a preemption snapshot: the
+        first `start_cycle` loader cycles are skipped without stepping (sample
+        rngs are (seed, epoch, index)-keyed, so the remaining cycles see exactly
+        the batches they would have in the uninterrupted run)."""
         for l in self.train_loaders:
             l.set_epoch(epoch)
         multi = MultiLoader(self.train_loaders)
@@ -219,6 +233,10 @@ class Trainer:
         last_metrics = None
         self.watchdog.start()
         for loader_idx, batch in device_prefetch(iter(multi), self.mesh):
+            if cycles_done < start_cycle:  # mid-epoch resume fast-forward
+                if loader_idx == len(self.train_loaders) - 1:
+                    cycles_done += 1
+                continue
             batch.pop("meta", None)
             self.state, metrics = self.train_step(self.state, batch)
             last_metrics = metrics
@@ -229,9 +247,12 @@ class Trainer:
             if self._preempted:
                 _ = float(metrics["loss"])
                 if self.save_dir:
-                    ckptlib.save_checkpoint(self.save_dir, f"preempt-epoch{epoch}",
-                                            self.state, epoch, self.monitor_best)
-                    self.logger.warning("preemption signal: checkpoint saved, exiting epoch")
+                    ckptlib.save_checkpoint(
+                        self.save_dir, f"preempt-epoch{epoch}", self.state, epoch,
+                        self.monitor_best, extra_meta={"cycles_done": cycles_done})
+                    self.logger.warning(
+                        "preemption signal: checkpoint saved at cycle %d, exiting epoch",
+                        cycles_done)
                 break
             if (steps_per_loader[loader_idx] - 1) % log_step == 0:
                 loss = float(metrics["loss"])  # forces the chain (axon-safe timing)
