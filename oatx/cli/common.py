@@ -9,12 +9,22 @@ from oatx.config.schema import ExperimentCfg
 from oatx.data.tokenizer import WordPieceTokenizer, load_tokenizer
 
 
-def resolve_tokenizer(exp: ExperimentCfg, corpus: Optional[List[str]] = None) -> WordPieceTokenizer:
+def resolve_tokenizer(
+    exp: ExperimentCfg,
+    corpus: Optional[List[str]] = None,
+    search_dirs: Optional[List[str]] = None,
+) -> WordPieceTokenizer:
     """Tokenizer resolution order:
-      1. top-level config key "tokenizer": {"vocab": <path>};
-      2. a vocab.txt next to arch.text_params.model (HF-layout dir);
-      3. hermetic fallback — build a vocab from the training captions (synthetic
-         and smoke runs; logged, deterministic)."""
+      1. a vocab.txt in `search_dirs` (checkpoint dirs — the vocab the weights
+         were trained with; cli.train persists it there);
+      2. top-level config key "tokenizer": {"vocab": <path>};
+      3. a vocab.txt next to arch.text_params.model (HF-layout dir);
+      4. hermetic fallback — build a vocab from the training captions (synthetic
+         and smoke runs; deterministic)."""
+    for d in search_dirs or []:
+        vp = os.path.join(str(d), "vocab.txt")
+        if os.path.exists(vp):
+            return load_tokenizer(vp)
     tok_cfg = exp.raw.get("tokenizer", {})
     vocab = tok_cfg.get("vocab")
     if vocab and os.path.exists(vocab):

@@ -57,7 +57,11 @@ def build_service(argv):
     ckpt = str(exp.resume) if exp.resume else exp.cfg.arch.load_checkpoint
     if ckpt:
         params = ckptlib.import_initial_weights(ckpt, tower_cfg, params)
-    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg) or ["a video"])
+    import pathlib
+
+    search = [pathlib.Path(ckpt).parent] if ckpt else []
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg) or ["a video"],
+                                  search_dirs=search)
     buckets = tuple(int(b) for b in our.buckets.split(","))
     svc = EmbedService(params, tower_cfg, buckets=buckets)
     svc.warmup(frames=exp.cfg.arch.video_params.num_frames)

@@ -56,7 +56,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         logger.warning("no checkpoint given — evaluating RANDOM weights")
     params = shardlib.shard_params(mesh, params)
 
-    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg, split))
+    search = []
+    if exp.resume:
+        search.append(exp.resume.parent)
+    if ckpt:
+        import pathlib
+
+        search.append(pathlib.Path(ckpt).parent)
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg, split),
+                                  search_dirs=search)
     dl = exp.cfg.data_loaders[0]
     ds = build_dataset(dl, exp.cfg.arch.variant, split,
                        load_region_bank(exp.cfg), seed=exp.cfg.trainer.seed)

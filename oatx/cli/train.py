@@ -38,7 +38,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger.info("experiment %s → %s", exp.cfg.name, exp.save_dir)
     logger.info("devices: %s", jax.devices())
 
-    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg))
+    search = [exp.resume.parent] if exp.resume else []
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg),
+                                  search_dirs=search)
+    if jax.process_index() == 0:
+        # persist the exact vocab with the checkpoints: eval/finetune runs must
+        # tokenize identically or the text embeddings are silently garbage
+        tokenizer.save_vocab(str(exp.save_dir / "vocab.txt"))
     shard_id, num_shards = jax.process_index(), jax.process_count()
     train_loaders = build_loaders(
         exp.cfg, tokenizer, split="train",

@@ -122,6 +122,15 @@ class WordPieceTokenizer:
         vocab = {w: i for i, w in enumerate(vocab_list)}
         return cls(vocab, lower=lower)
 
+    def save_vocab(self, path: str) -> str:
+        """Write vocab.txt (one token per line, index order) — persisted next to
+        checkpoints so eval/finetune runs reuse the exact training vocab."""
+        inv = sorted(self.vocab.items(), key=lambda kv: kv[1])
+        with open(path, "w", encoding="utf-8") as f:
+            for tok, _ in inv:
+                f.write(tok + "\n")
+        return path
+
     # ---------------------------------------------------------- tokenization
 
     def wordpiece(self, word: str) -> List[str]:

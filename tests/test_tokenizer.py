@@ -83,3 +83,12 @@ def test_build_from_corpus_covers_words():
 def test_token_length(bert_like_tokenizer):
     assert bert_like_tokenizer.token_length("runs") == 2
     assert bert_like_tokenizer.token_length("the dog") == 2
+
+
+def test_save_load_vocab_roundtrip(tmp_path, bert_like_tokenizer):
+    t = bert_like_tokenizer
+    p = t.save_vocab(str(tmp_path / "vocab.txt"))
+    t2 = WordPieceTokenizer.from_vocab_file(p)
+    assert t2.vocab == t.vocab
+    assert t2(["the dog runs"], max_length=8)["input_ids"].tolist() == \
+        t(["the dog runs"], max_length=8)["input_ids"].tolist()
