@@ -254,6 +254,7 @@ class TrainerCfg:
     seed: int = 0
     accum_steps: int = 1       # gradient accumulation micro-steps
     zero1: bool = False        # shard optimizer state over the data axis
+    cycle_shorter: bool = False  # wrap shorter loaders instead of truncating
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainerCfg":

@@ -109,6 +109,7 @@ class ShardedLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        self._wrap = 0  # bumped by MultiLoader(cycle_shorter) for fresh reshuffles
 
     # reference API surface
     @property
@@ -126,7 +127,8 @@ class ShardedLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+            order = np.random.default_rng(
+                (self.seed, self.epoch, self._wrap)).permutation(n)
         if self.drop_last:
             per = n // self.num_shards
             order = order[: per * self.num_shards]
@@ -173,28 +175,44 @@ class ShardedLoader:
 
 class MultiLoader:
     """Round-robin alternation over loaders; each yield is (loader_index, batch).
-    Length = shortest loader × number of loaders (reference zip semantics)."""
 
-    def __init__(self, loaders: Sequence[ShardedLoader]):
+    cycle_shorter=False (default): length = shortest loader × number of loaders
+    (the reference's zip semantics, trainer_dist.py:146). cycle_shorter=True:
+    exhausted loaders restart with a fresh shuffle (the reference's inf_loop,
+    utils/util.py:95-98) and the epoch ends when the LONGEST loader finishes —
+    unequal datasets (e.g. CC3M vs WebVid) aren't truncated."""
+
+    def __init__(self, loaders: Sequence[ShardedLoader], cycle_shorter: bool = False):
         self.loaders = list(loaders)
+        self.cycle_shorter = cycle_shorter
 
     def set_epoch(self, epoch: int) -> None:
         for l in self.loaders:
             l.set_epoch(epoch)
+            l._wrap = 0
 
     def __len__(self) -> int:
-        return min(len(l) for l in self.loaders) * len(self.loaders)
+        agg = max if self.cycle_shorter else min
+        return agg(len(l) for l in self.loaders) * len(self.loaders)
 
     def __iter__(self):
         its = [iter(l) for l in self.loaders]
+        exhausted = [False] * len(self.loaders)
         try:
             while True:
                 batches = []
-                try:
-                    for it in its:
+                for li, it in enumerate(its):
+                    try:
                         batches.append(next(it))
-                except StopIteration:
-                    return
+                    except StopIteration:
+                        if not self.cycle_shorter:
+                            return
+                        exhausted[li] = True
+                        if all(exhausted):
+                            return
+                        self.loaders[li]._wrap += 1  # fresh reshuffle on wrap
+                        its[li] = iter(self.loaders[li])
+                        batches.append(next(its[li]))
                 for i, b in enumerate(batches):
                     yield i, b
         finally:

@@ -77,7 +77,8 @@ class Trainer:
         # steps/epoch for the LR schedule (epoch-milestone step decay)
         cycle_batches = sum(l.batch_size for l in train_loaders) or 1
         steps_per_cycle = len(train_loaders) or 1
-        n_cycles = min(len(l) for l in train_loaders) if train_loaders else 0
+        agg = max if t.cycle_shorter else min
+        n_cycles = agg(len(l) for l in train_loaders) if train_loaders else 0
         if t.max_samples_per_epoch:
             n_cycles = min(n_cycles, t.max_samples_per_epoch // cycle_batches)
         self.cycles_per_epoch = max(1, n_cycles)
@@ -221,7 +222,8 @@ class Trainer:
         the batches they would have in the uninterrupted run)."""
         for l in self.train_loaders:
             l.set_epoch(epoch)
-        multi = MultiLoader(self.train_loaders)
+        multi = MultiLoader(self.train_loaders,
+                            cycle_shorter=self.exp.trainer.cycle_shorter)
         losses = [[] for _ in self.train_loaders]
         # per-loader sampling period: fetching the loss forces a device sync, so
         # sample sparsely (reference log_step = sqrt(batch), trainer_dist.py:87);

@@ -158,3 +158,32 @@ def test_build_loaders_from_experiment(synth_cfg, tokenizer):
     assert len(loaders) == 1
     b = next(iter(loaders[0]))
     assert b["video"].shape == (2, 2, 256, 256, 3)
+
+
+def test_multi_loader_cycle_shorter(synth_cfg, tokenizer):
+    """inf_loop parity: the shorter loader wraps with a fresh shuffle; epoch
+    ends with the longest loader."""
+    import dataclasses
+
+    from oatx.data.factory import build_dataset
+    from oatx.data.loader import Collator, MultiLoader, ShardedLoader
+
+    ds = build_dataset(synth_cfg, variant="baseline")  # 12 items
+    col = Collator(tokenizer)
+    short = ShardedLoader(ds, batch_size=6, collate=col, shuffle=True,
+                          num_workers=2, seed=3)   # 2 batches
+    long = ShardedLoader(ds, batch_size=2, collate=col, shuffle=True,
+                         num_workers=2, seed=4)    # 6 batches
+    ml = MultiLoader([short, long], cycle_shorter=True)
+    assert len(ml) == 12  # 6 cycles x 2 loaders
+    out = list(ml)
+    assert len(out) == 12
+    # the short loader wrapped twice (6 cycles / 2 batches per pass = 3 passes)
+    short_batches = [b for i, b in out if i == 0]
+    assert len(short_batches) == 6
+    # wraps reshuffle: first pass order differs from second pass order
+    idx = [tuple(m["index"] for m in b["meta"]) for b in short_batches]
+    assert idx[0:2] != idx[2:4]
+    # default semantics unchanged: stops at shortest
+    ml2 = MultiLoader([short, long])
+    assert len(list(ml2)) == 4
