@@ -74,6 +74,17 @@ class Trainer:
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(
             model_parallel=t.model_parallel)
 
+        # batches are sharded over the mesh's data axis; catch indivisible
+        # batch sizes here with a config-level message instead of letting
+        # device_put fail deep inside the prefetch thread
+        data_axis = self.mesh.shape.get("data", 1)
+        for l in train_loaders:  # val batches are padded to the multiple instead
+            if l.batch_size % data_axis != 0:
+                raise ValueError(
+                    f"data_loader '{l.dataset_name}' batch_size={l.batch_size} is not "
+                    f"divisible by the mesh data axis ({data_axis} devices); "
+                    f"use a multiple of {data_axis}")
+
         # steps/epoch for the LR schedule (epoch-milestone step decay)
         cycle_batches = sum(l.batch_size for l in train_loaders) or 1
         steps_per_cycle = len(train_loaders) or 1
