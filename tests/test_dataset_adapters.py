@@ -66,6 +66,41 @@ def test_msrvtt_jsfusion_eval_caption_idx(msrvtt_root):
     assert s["text"].endswith("-1")
 
 
+def test_msrvtt_miech_cut(msrvtt_root):
+    sdir = msrvtt_root / "high-quality" / "structured-symlinks"
+    (sdir / "train_list_miech.txt").write_text("video0\nvideo1\nvideo2\n")
+    (sdir / "test_list_miech.txt").write_text("video3\nvideo4\nvideo5\n")
+    for split, n in (("train", 3), ("test", 3)):
+        cfg = DataLoaderCfg(dataset_name="MSRVTT", data_dir=str(msrvtt_root),
+                            metadata_dir=str(msrvtt_root), cut="miech", split=split,
+                            video_params={"num_frames": 2, "loading": "lax"})
+        ds = build_dataset(cfg, "baseline", split)
+        assert len(ds) == n
+    # eval uses first caption (no jsfusion caption idx for miech)
+    s = ds.get_sample(0, np.random.default_rng(0))
+    assert s["text"] == "cap 3-0"
+
+
+def test_msrvtt_challenge_cuts(msrvtt_root):
+    """Challenge splits use train_list.txt + {val_list,public_server_*}.txt
+    (reference MSRVTT_dataset.py:20-39)."""
+    sdir = msrvtt_root / "high-quality" / "structured-symlinks"
+    (sdir / "train_list.txt").write_text("video0\nvideo1\nvideo2\nvideo3\n")
+    (sdir / "val_list.txt").write_text("video4\n")
+    (sdir / "public_server_val.txt").write_text("video4\nvideo5\n")
+    (sdir / "public_server_test.txt").write_text("video5\n")
+    for cut, n_eval in (("val", 1), ("public_server_val", 2), ("public_server_test", 1)):
+        cfg = DataLoaderCfg(dataset_name="MSRVTT", data_dir=str(msrvtt_root),
+                            metadata_dir=str(msrvtt_root), cut=cut, split="test",
+                            video_params={"num_frames": 2, "loading": "lax"})
+        ds = build_dataset(cfg, "baseline", "test")
+        assert len(ds) == n_eval, cut
+        cfg_tr = DataLoaderCfg(dataset_name="MSRVTT", data_dir=str(msrvtt_root),
+                               metadata_dir=str(msrvtt_root), cut=cut, split="train",
+                               video_params={"num_frames": 2, "loading": "lax"})
+        assert len(build_dataset(cfg_tr, "baseline", "train")) == 4
+
+
 def test_msrvtt_bad_cut(msrvtt_root):
     cfg = DataLoaderCfg(dataset_name="MSRVTT", data_dir=str(msrvtt_root),
                         metadata_dir=str(msrvtt_root), cut="nonsense", split="train")
