@@ -122,6 +122,10 @@ class ShardedLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # reset the wrap counter so the epoch's batch stream is a pure function
+        # of (seed, epoch) — a resumed process must see the same wraps as the
+        # uninterrupted run (sample-exact mid-epoch resume)
+        self._wrap = 0
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)

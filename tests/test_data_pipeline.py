@@ -187,3 +187,29 @@ def test_multi_loader_cycle_shorter(synth_cfg, tokenizer):
     # default semantics unchanged: stops at shortest
     ml2 = MultiLoader([short, long])
     assert len(list(ml2)) == 4
+
+
+def test_cycle_shorter_stream_is_pure_function_of_epoch(synth_cfg, tokenizer):
+    """Sample-exact resume: epoch N's wrapped stream must be identical whether
+    the process ran epoch N-1 first (accumulating wraps) or started fresh at
+    epoch N — set_epoch resets the wrap counter."""
+    def make_multi():
+        ds = build_dataset(synth_cfg, variant="baseline")
+        col = Collator(tokenizer)
+        short = ShardedLoader(ds, batch_size=6, collate=col, shuffle=True,
+                              num_workers=2, seed=3)
+        long = ShardedLoader(ds, batch_size=2, collate=col, shuffle=True,
+                             num_workers=2, seed=4)
+        return MultiLoader([short, long], cycle_shorter=True)
+
+    def stream(ml, epoch):
+        for l in ml.loaders:  # trainer calls set_epoch on loaders directly
+            l.set_epoch(epoch)
+        return [(i, tuple(m["index"] for m in b["meta"])) for i, b in ml]
+
+    continuing = make_multi()
+    stream(continuing, 1)               # epoch 1 accumulates wraps
+    e2_after_e1 = stream(continuing, 2)
+    fresh = make_multi()                # resumed process: epoch 2 directly
+    e2_fresh = stream(fresh, 2)
+    assert e2_after_e1 == e2_fresh
