@@ -163,3 +163,79 @@ def test_variable_frames_share_weights():
     out1 = vst.apply(params, cfg, jnp.array(r.standard_normal((2, 1, 224, 224, 3)), jnp.float32))
     out4 = vst.apply(params, cfg, jnp.array(r.standard_normal((2, 4, 224, 224, 3)), jnp.float32))
     assert out1["cls"].shape == out4["cls"].shape == (2, 768)
+
+
+# ------------------------------------------- OA variant towers vs reference
+
+def test_region_variant_parity():
+    """Layer-6 region tap through a separate region_norm must match the
+    reference oa_video_transformer_region.py:364-377 (K=6) numerically."""
+    from torch_oracles import REFERENCE_OA_REGION, load_reference_module
+
+    mod = load_reference_module(REFERENCE_OA_REGION, "ref_oa_region")
+    if mod is None:
+        pytest.skip("reference repo not available as oracle")
+    torch.manual_seed(3)
+    ref = mod.SpaceTimeTransformer(num_frames=4, time_init="random",
+                                   attention_style="frozen-in-time")
+    ref.head = torch.nn.Identity()
+    ref.pre_logits = torch.nn.Identity()
+    ref = ref.eval()
+    with torch.no_grad():
+        ref.temporal_embed.normal_(0, 0.02)
+        ref.region_norm.weight.normal_(1, 0.2)
+        ref.region_norm.bias.normal_(0, 0.1)
+
+    cfg = vst.SpaceTimeViTConfig(num_frames=4, time_init="random",
+                                 region_tap_layer=6)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert.spacetime_vit_overlay_torch(
+        vst.init(jax.random.PRNGKey(0), cfg), sd, cfg)
+
+    video = np.random.default_rng(5).standard_normal((2, 4, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_cls, t_region = ref.forward_features(
+            torch.from_numpy(video.transpose(0, 1, 4, 2, 3)))
+    out = vst.apply(params, cfg, jnp.array(video))
+
+    assert _cos(np.asarray(out["cls"]), t_cls.numpy()) > 0.999
+    np.testing.assert_allclose(np.asarray(out["cls"]), t_cls.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["region"]), t_region.numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_global_local_variant_parity():
+    """½·CLS + ½·mean(patches) pooling and last-layer region features must
+    match the reference oa_video_transformer_global_local.py:356-359."""
+    from torch_oracles import REFERENCE_OA_GLOBAL_LOCAL, load_reference_module
+
+    mod = load_reference_module(REFERENCE_OA_GLOBAL_LOCAL, "ref_oa_gl")
+    if mod is None:
+        pytest.skip("reference repo not available as oracle")
+    torch.manual_seed(4)
+    ref = mod.SpaceTimeTransformer(num_frames=4, time_init="random",
+                                   attention_style="frozen-in-time")
+    ref.head = torch.nn.Identity()
+    ref.pre_logits = torch.nn.Identity()
+    ref = ref.eval()
+    with torch.no_grad():
+        ref.temporal_embed.normal_(0, 0.02)
+
+    cfg = vst.SpaceTimeViTConfig(num_frames=4, time_init="random",
+                                 pooling="cls_mean_half")
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert.spacetime_vit_overlay_torch(
+        vst.init(jax.random.PRNGKey(0), cfg), sd, cfg)
+
+    video = np.random.default_rng(6).standard_normal((2, 4, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_cls, t_region = ref.forward_features(
+            torch.from_numpy(video.transpose(0, 1, 4, 2, 3)))
+    out = vst.apply(params, cfg, jnp.array(video))
+
+    assert _cos(np.asarray(out["cls"]), t_cls.numpy()) > 0.999
+    np.testing.assert_allclose(np.asarray(out["cls"]), t_cls.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["patches"]), t_region.numpy(),
+                               atol=5e-4, rtol=1e-3)

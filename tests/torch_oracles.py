@@ -67,3 +67,19 @@ def load_reference_video_transformer():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+REFERENCE_OA_REGION = "/root/reference/OATrans/model/oa_video_transformer_region.py"
+REFERENCE_OA_GLOBAL_LOCAL = (
+    "/root/reference/OATrans/model/oa_video_transformer_global_local.py")
+
+
+def load_reference_module(path, name):
+    """Import an arbitrary reference model file as an oracle (timm stubbed)."""
+    if not os.path.exists(path):
+        return None
+    _install_timm_stub()
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
