@@ -169,7 +169,7 @@ class DataLoaderCfg:
     batch_size: int = 16
     split: str = "train"
     cut: Optional[str] = None
-    subsample: int = 1
+    subsample: float = 1  # <1 keeps that fraction of metadata (reference base_dataset.py:46)
     text_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     object_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     video_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
