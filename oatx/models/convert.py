@@ -204,8 +204,10 @@ def frozen_in_time_from_torch(
         out["txt_proj"] = _dense(sd, "txt_proj.1")
     if "vid_proj.0.weight" in sd:
         out["vid_proj"] = _dense(sd, "vid_proj.0")
-    if "txt_proj_2.weight" in sd:  # region-memory variant CLIP projection
-        out["txt_proj_2"] = _dense(sd, "txt_proj_2")
+    # region-memory CLIP projection: Sequential(ReLU, Linear) → index 1
+    # (oa_model_region_mem.py:70-72)
+    if "txt_proj_2.1.weight" in sd:
+        out["txt_proj_2"] = _dense(sd, "txt_proj_2.1")
     return out
 
 
@@ -283,8 +285,8 @@ def frozen_in_time_to_torch(
         sd["vid_proj.0.weight"] = _t_out(params["vid_proj"]["kernel"])
         sd["vid_proj.0.bias"] = np.asarray(params["vid_proj"]["bias"])
     if "txt_proj_2" in params:
-        sd["txt_proj_2.weight"] = _t_out(params["txt_proj_2"]["kernel"])
-        sd["txt_proj_2.bias"] = np.asarray(params["txt_proj_2"]["bias"])
+        sd["txt_proj_2.1.weight"] = _t_out(params["txt_proj_2"]["kernel"])
+        sd["txt_proj_2.1.bias"] = np.asarray(params["txt_proj_2"]["bias"])
     return sd
 
 

@@ -239,7 +239,10 @@ def forward_region_mem(
     video_region = linear(params["vid_proj"], vout["region"].astype(jnp.float32))
     video_embeds = (vout["cls"] + jnp.mean(video_region, axis=1)) / 2.0
 
-    text_region = linear(params["txt_proj_2"], batch["text_region_embedding"].astype(jnp.float32))
+    # reference txt_proj_2 is Sequential(ReLU, Linear(512→256)) — the ReLU on the
+    # raw CLIP rows matters numerically (oa_model_region_mem.py:70-72)
+    text_region = linear(params["txt_proj_2"],
+                         jax.nn.relu(batch["text_region_embedding"].astype(jnp.float32)))
     region_sim_logits = jnp.einsum("bkf,bnf->bkn", text_region, object_region,
                                    preferred_element_type=jnp.float32)
     return {
