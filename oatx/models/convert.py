@@ -208,6 +208,12 @@ def frozen_in_time_from_torch(
     # (oa_model_region_mem.py:70-72)
     if "txt_proj_2.1.weight" in sd:
         out["txt_proj_2"] = _dense(sd, "txt_proj_2.1")
+    # global-local fine-grained heads: text_local_proj = Sequential(ReLU, Linear),
+    # vid_local_proj = Sequential(Linear) (oa_model_global_local.py:100-135)
+    if "text_local_proj.1.weight" in sd:
+        out["txt_local_proj"] = _dense(sd, "text_local_proj.1")
+    if "vid_local_proj.0.weight" in sd:
+        out["vid_local_proj"] = _dense(sd, "vid_local_proj.0")
     return out
 
 
@@ -287,6 +293,12 @@ def frozen_in_time_to_torch(
     if "txt_proj_2" in params:
         sd["txt_proj_2.1.weight"] = _t_out(params["txt_proj_2"]["kernel"])
         sd["txt_proj_2.1.bias"] = np.asarray(params["txt_proj_2"]["bias"])
+    if "txt_local_proj" in params:
+        sd["text_local_proj.1.weight"] = _t_out(params["txt_local_proj"]["kernel"])
+        sd["text_local_proj.1.bias"] = np.asarray(params["txt_local_proj"]["bias"])
+    if "vid_local_proj" in params:
+        sd["vid_local_proj.0.weight"] = _t_out(params["vid_local_proj"]["kernel"])
+        sd["vid_local_proj.0.bias"] = np.asarray(params["vid_local_proj"]["bias"])
     return sd
 
 
