@@ -68,3 +68,32 @@ def test_export_names_match_reference_schema(tmp_path):
     # torch Linear layout: (out, in)
     assert sd["video_model.blocks.0.attn.qkv.weight"].shape == (96, 32)
     assert sd["video_model.patch_embed.proj.weight"].shape == (32, 3, 16, 16)
+
+
+def test_export_variant_head_names():
+    """Variant projection heads export under the reference Sequential indices
+    (txt_proj_2.1 / text_local_proj.1 / vid_local_proj.0) and load into
+    reference-shaped torch modules with no missing/unexpected keys."""
+    small_vid = vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                       depth=2, num_heads=2, num_frames=1)
+    small_txt = dbert.DistilBertConfig(vocab_size=64, max_position_embeddings=16,
+                                       dim=32, hidden_dim=64, n_layers=1, n_heads=2)
+
+    rm = towers.TowerConfig(video=small_vid, text=small_txt, projection_dim=8,
+                            variant="region_mem", region_embed_dim=16)
+    sd = convert.frozen_in_time_to_torch(towers.init(jax.random.PRNGKey(1), rm), rm.video)
+    assert "txt_proj_2.1.weight" in sd and sd["txt_proj_2.1.weight"].shape == (8, 16)
+    seq = torch.nn.Sequential(torch.nn.ReLU(), torch.nn.Linear(16, 8))
+    seq.load_state_dict({k.split("txt_proj_2.")[1]: torch.from_numpy(v)
+                         for k, v in sd.items() if k.startswith("txt_proj_2.")})
+
+    gl = towers.TowerConfig(video=small_vid, text=small_txt, projection_dim=8,
+                            variant="global_local")
+    sd = convert.frozen_in_time_to_torch(towers.init(jax.random.PRNGKey(2), gl), gl.video)
+    assert "text_local_proj.1.weight" in sd and "vid_local_proj.0.weight" in sd
+    tl = torch.nn.Sequential(torch.nn.ReLU(), torch.nn.Linear(32, 8))
+    tl.load_state_dict({k.split("text_local_proj.")[1]: torch.from_numpy(v)
+                        for k, v in sd.items() if k.startswith("text_local_proj.")})
+    vl = torch.nn.Sequential(torch.nn.Linear(32, 8))
+    vl.load_state_dict({k.split("vid_local_proj.")[1]: torch.from_numpy(v)
+                        for k, v in sd.items() if k.startswith("vid_local_proj.")})
