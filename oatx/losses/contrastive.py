@@ -191,6 +191,18 @@ def sigmoid_binary_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> j
     return jnp.mean(jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
+def region_bce(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Region-map BCE with the reference's reduction: BCELoss(reduction='sum')
+    over (B·K, N) rows divided by the row count (trainer_region_mem.py:96,166)
+    — i.e. SUM over the patch axis, MEAN over (batch, region) rows. This is
+    N× the element mean; using a plain mean under-weights the region gradient
+    ~200× at 14×14 grids."""
+    logits = logits.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    elem = jnp.maximum(logits, 0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(jnp.sum(elem, axis=-1))
+
+
 class MoCoQueue(NamedTuple):
     """Functional MoCo negative queue (reference oa_loss.py:66-143 re-designed as an
     explicit state pytree: donate+carry it through the train step)."""

@@ -86,8 +86,7 @@ def loss_fn(
     if cfg.variant == "region_mem":
         out = towers.forward_region_mem(params, cfg, batch)
         l_nce = _pair_loss(C.sim_matrix(out["text_embeds"], out["video_embeds"]), loss_cfg)
-        l_region = C.sigmoid_binary_cross_entropy(
-            out["region_sim_logits"], batch["patch_masks"])
+        l_region = C.region_bce(out["region_sim_logits"], batch["patch_masks"])
         loss = l_nce + loss_cfg.region_bce_weight * l_region
         return loss, {"loss": loss, "loss_nce": l_nce, "loss_region": l_region}
     raise ValueError(f"unknown variant {cfg.variant!r}")

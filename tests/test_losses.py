@@ -187,6 +187,21 @@ def test_bce_pair(rng):
     assert a == pytest.approx(want, rel=1e-5)
 
 
+def test_region_bce_matches_reference_reduction(rng):
+    """region_bce == BCELoss(reduction='sum')(sigmoid(logits), t) / rows — the
+    reference's region-map loss scaling (trainer_region_mem.py:96,166)."""
+    import torch
+
+    B, K, N = 3, 5, 196
+    logits = rng.standard_normal((B, K, N)).astype(np.float32)
+    targets = (rng.uniform(size=(B, K, N)) > 0.9).astype(np.float32)
+    got = float(C.region_bce(jnp.array(logits), jnp.array(targets)))
+    t_sim = torch.sigmoid(torch.from_numpy(logits)).view(-1, N)
+    t_mask = torch.from_numpy(targets).view(-1, N)
+    want = float(torch.nn.BCELoss(reduction="sum")(t_sim, t_mask) / t_sim.size(0))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
 def test_moco_queue_roundtrip(rng):
     q = C.moco_queue_init(jax.random.PRNGKey(0), queue_size=16, dim=8)
     k1 = jnp.array(rng.standard_normal((6, 8)), jnp.float32)
