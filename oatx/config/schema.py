@@ -255,6 +255,9 @@ class TrainerCfg:
     accum_steps: int = 1       # gradient accumulation micro-steps
     zero1: bool = False        # shard optimizer state over the data axis
     cycle_shorter: bool = False  # wrap shorter loaders instead of truncating
+    # iteration-based training (reference len_epoch + inf_loop,
+    # trainer_dist.py:72-79): fixed cycles per epoch, loaders cycle endlessly
+    len_epoch: Optional[int] = None
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainerCfg":

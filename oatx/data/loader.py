@@ -184,11 +184,16 @@ class MultiLoader:
     (the reference's zip semantics, trainer_dist.py:146). cycle_shorter=True:
     exhausted loaders restart with a fresh shuffle (the reference's inf_loop,
     utils/util.py:95-98) and the epoch ends when the LONGEST loader finishes —
-    unequal datasets (e.g. CC3M vs WebVid) aren't truncated."""
+    unequal datasets (e.g. CC3M vs WebVid) aren't truncated. endless=True:
+    EVERY exhausted loader rewraps forever (the reference's iteration-based
+    mode, trainer_dist.py:76-79) — the consumer must bound the epoch (the
+    trainer stops at cycles_per_epoch); __len__ is undefined in this mode."""
 
-    def __init__(self, loaders: Sequence[ShardedLoader], cycle_shorter: bool = False):
+    def __init__(self, loaders: Sequence[ShardedLoader], cycle_shorter: bool = False,
+                 endless: bool = False):
         self.loaders = list(loaders)
-        self.cycle_shorter = cycle_shorter
+        self.cycle_shorter = cycle_shorter or endless
+        self.endless = endless
 
     def set_epoch(self, epoch: int) -> None:
         for l in self.loaders:
@@ -196,6 +201,8 @@ class MultiLoader:
             l._wrap = 0
 
     def __len__(self) -> int:
+        if self.endless:
+            raise TypeError("endless MultiLoader has no length")
         agg = max if self.cycle_shorter else min
         return agg(len(l) for l in self.loaders) * len(self.loaders)
 
@@ -212,7 +219,7 @@ class MultiLoader:
                         if not self.cycle_shorter:
                             return
                         exhausted[li] = True
-                        if all(exhausted):
+                        if all(exhausted) and not self.endless:
                             return
                         self.loaders[li]._wrap += 1  # fresh reshuffle on wrap
                         its[li] = iter(self.loaders[li])

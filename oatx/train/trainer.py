@@ -88,10 +88,15 @@ class Trainer:
         # steps/epoch for the LR schedule (epoch-milestone step decay)
         cycle_batches = sum(l.batch_size for l in train_loaders) or 1
         steps_per_cycle = len(train_loaders) or 1
-        agg = max if t.cycle_shorter else min
-        n_cycles = agg(len(l) for l in train_loaders) if train_loaders else 0
-        if t.max_samples_per_epoch:
-            n_cycles = min(n_cycles, t.max_samples_per_epoch // cycle_batches)
+        if t.len_epoch is not None and t.len_epoch <= 0:
+            raise ValueError(f"trainer.len_epoch must be positive, got {t.len_epoch}")
+        if t.len_epoch:  # iteration-based: fixed cycles, loaders cycle endlessly
+            n_cycles = t.len_epoch
+        else:
+            agg = max if t.cycle_shorter else min
+            n_cycles = agg(len(l) for l in train_loaders) if train_loaders else 0
+            if t.max_samples_per_epoch:
+                n_cycles = min(n_cycles, t.max_samples_per_epoch // cycle_batches)
         self.cycles_per_epoch = max(1, n_cycles)
         steps_per_epoch = self.cycles_per_epoch * steps_per_cycle
 
@@ -234,7 +239,8 @@ class Trainer:
         for l in self.train_loaders:
             l.set_epoch(epoch)
         multi = MultiLoader(self.train_loaders,
-                            cycle_shorter=self.exp.trainer.cycle_shorter)
+                            cycle_shorter=self.exp.trainer.cycle_shorter,
+                            endless=bool(self.exp.trainer.len_epoch))
         losses = [[] for _ in self.train_loaders]
         # per-loader sampling period: fetching the loss forces a device sync, so
         # sample sparsely (reference log_step = sqrt(batch), trainer_dist.py:87);

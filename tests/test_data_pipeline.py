@@ -189,6 +189,30 @@ def test_multi_loader_cycle_shorter(synth_cfg, tokenizer):
     assert len(list(ml2)) == 4
 
 
+def test_multi_loader_endless(synth_cfg, tokenizer):
+    """Iteration-based mode: every loader rewraps forever; the consumer bounds
+    the epoch (reference len_epoch + inf_loop, trainer_dist.py:76-79)."""
+    ds = build_dataset(synth_cfg, variant="baseline")  # 12 items
+    col = Collator(tokenizer)
+    l1 = ShardedLoader(ds, batch_size=6, collate=col, shuffle=True,
+                       num_workers=2, seed=3)  # 2 batches/pass
+    l2 = ShardedLoader(ds, batch_size=4, collate=col, shuffle=True,
+                       num_workers=2, seed=4)  # 3 batches/pass
+    ml = MultiLoader([l1, l2], endless=True)
+    with pytest.raises(TypeError):
+        len(ml)
+    out = []
+    for item in ml:
+        out.append(item)
+        if len(out) >= 20:  # 10 cycles — far past both loader lengths
+            break
+    assert [i for i, _ in out[:4]] == [0, 1, 0, 1]
+    # both loaders wrapped several times and reshuffled on each wrap
+    idx1 = [tuple(m["index"] for m in b["meta"]) for i, b in out if i == 0]
+    assert len(idx1) == 10
+    assert idx1[0:2] != idx1[2:4]
+
+
 def test_cycle_shorter_stream_is_pure_function_of_epoch(synth_cfg, tokenizer):
     """Sample-exact resume: epoch N's wrapped stream must be identical whether
     the process ran epoch N-1 first (accumulating wraps) or started fresh at
