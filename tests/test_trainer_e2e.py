@@ -150,3 +150,24 @@ def test_linear_probe_freezes_towers(trained):
         after["text"]["embeddings"]["word"], before["text"]["embeddings"]["word"])
     assert not np.allclose(after["vid_proj"]["kernel"], before["vid_proj"]["kernel"])
     assert not np.allclose(after["txt_proj"]["kernel"], before["txt_proj"]["kernel"])
+
+
+def test_len_epoch_iteration_based(tmp_path, capsys):
+    """trainer.len_epoch runs exactly N cycles/epoch with endless loader
+    cycling (reference len_epoch + inf_loop, trainer_dist.py:72-79): 16 videos
+    at bs=8 is 2 batches/pass, len_epoch=5 must still complete 5 cycles."""
+    from oatx.cli.train import main
+
+    cfg = _smoke_config(tmp_path)
+    cfg["trainer"]["epochs"] = 1
+    cfg["trainer"]["len_epoch"] = 5
+    cfg["trainer"]["verbosity"] = 2
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main(["-c", str(cfg_path), "--no_timestamp"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if "Train Epoch" in l]
+    assert any("5/5" in l for l in lines), lines
+    assert not any("6/5" in l for l in lines)
+    assert (tmp_path / "exps" / "models" / "e2e" / "checkpoint-epoch1").exists()
