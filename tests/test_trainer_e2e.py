@@ -152,22 +152,25 @@ def test_linear_probe_freezes_towers(trained):
     assert not np.allclose(after["txt_proj"]["kernel"], before["txt_proj"]["kernel"])
 
 
-def test_len_epoch_iteration_based(tmp_path, capsys):
+def test_len_epoch_iteration_based(tmp_path):
     """trainer.len_epoch runs exactly N cycles/epoch with endless loader
     cycling (reference len_epoch + inf_loop, trainer_dist.py:72-79): 16 videos
-    at bs=8 is 2 batches/pass, len_epoch=5 must still complete 5 cycles."""
-    from oatx.cli.train import main
+    at bs=8 is 2 batches/pass, len_epoch=5 must still complete 5 train steps
+    (asserted via the optimizer step counter — log capture is handler-bound
+    and flaky across the suite)."""
+    from oatx.config.schema import ExperimentCfg
+    from oatx.data.factory import build_loaders
+    from oatx.data.tokenizer import WordPieceTokenizer
+    from oatx.train.trainer import Trainer
 
     cfg = _smoke_config(tmp_path)
     cfg["trainer"]["epochs"] = 1
     cfg["trainer"]["len_epoch"] = 5
-    cfg["trainer"]["verbosity"] = 2
-    cfg_path = tmp_path / "cfg.json"
-    cfg_path.write_text(json.dumps(cfg))
-    rc = main(["-c", str(cfg_path), "--no_timestamp"])
-    assert rc == 0
-    out = capsys.readouterr().out
-    lines = [l for l in out.splitlines() if "Train Epoch" in l]
-    assert any("5/5" in l for l in lines), lines
-    assert not any("6/5" in l for l in lines)
-    assert (tmp_path / "exps" / "models" / "e2e" / "checkpoint-epoch1").exists()
+    exp = ExperimentCfg.from_dict(cfg)
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"clip {i}" for i in range(30)], vocab_size=256)
+    loaders = build_loaders(exp, tok)
+    trainer = Trainer(exp, loaders, save_dir=tmp_path / "exps", log_dir=tmp_path)
+    assert trainer.cycles_per_epoch == 5
+    trainer.train()
+    assert int(trainer.state.step) == 5  # 5 cycles x 1 loader, loader wrapped past 2
