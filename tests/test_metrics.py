@@ -140,3 +140,57 @@ def test_acc_and_topk():
     tgt = np.array([1, 0, 0])
     assert acc(out, tgt) == pytest.approx(2 / 3)
     assert top_k_acc(out, tgt, k=2) == pytest.approx(1.0)
+
+
+def _load_reference_metric_module():
+    """Import the reference's actual metric.py as the oracle (ipdb stubbed)."""
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    path = "/root/reference/OATrans/model/metric.py"
+    if not os.path.exists(path):
+        return None
+    if "ipdb" not in sys.modules:
+        stub = types.ModuleType("ipdb")
+        stub.set_trace = lambda: None
+        sys.modules["ipdb"] = stub
+    spec = importlib.util.spec_from_file_location("ref_metric", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_metrics_match_reference_module_exactly():
+    """Run the reference's OWN metric.py (imported, not transcribed) and oatx's
+    implementations on identical sims (with ties and query masks) — every
+    scalar must agree."""
+    import pytest as _pytest
+
+    ref = _load_reference_metric_module()
+    if ref is None:
+        _pytest.skip("reference repo not available")
+    rng = np.random.default_rng(17)
+    # quantized sims force rank ties, exercising the tie-breaking branches
+    sims = np.round(rng.standard_normal((40, 40)) * 2) / 4.0
+    for fn_ref, fn_oatx in ((ref.t2v_metrics, t2v_metrics),
+                            (ref.v2t_metrics, v2t_metrics)):
+        want, got = fn_ref(sims), fn_oatx(sims)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), (fn_oatx.__name__, k)
+
+    # grouped captions with query masks (videos with variable caption counts)
+    n_vids, caps_per = 12, 3
+    sims_g = np.round(rng.standard_normal((n_vids * caps_per, n_vids)) * 2) / 4.0
+    masks = np.ones((n_vids, caps_per), dtype=int)
+    masks[0, 2] = 0
+    masks[5, 1:] = 0
+    want = ref.t2v_metrics(sims_g, query_masks=masks)
+    got = t2v_metrics(sims_g, query_masks=masks)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), ("t2v masked", k)
+    want = ref.v2t_metrics(sims_g, query_masks=masks)
+    got = v2t_metrics(sims_g, query_masks=masks)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), ("v2t masked", k)
