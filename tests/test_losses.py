@@ -230,3 +230,33 @@ def test_fine_grained_loss_runs(rng):
     t = jnp.array(rng.standard_normal((6, 5, 32)), jnp.float32)
     loss = C.fine_grained_region_tag_loss(r, t)
     assert np.isfinite(float(loss))
+
+
+def test_losses_match_reference_module_exactly(rng):
+    """Import the reference's own loss.py (not a transcription) and compare
+    NormSoftmaxLoss / MaxMarginRankingLoss / CrossEntropy on identical sims."""
+    import importlib.util
+    import os
+
+    import torch
+
+    path = "/root/reference/OATrans/model/loss.py"
+    if not os.path.exists(path):
+        pytest.skip("reference repo not available")
+    spec = importlib.util.spec_from_file_location("ref_loss", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    sims = rng.standard_normal((16, 16)).astype(np.float32)
+    t_sims = torch.from_numpy(sims)
+    want = float(ref.NormSoftmaxLoss(temperature=0.05)(t_sims))
+    got = float(C.norm_softmax_loss(jnp.array(sims), 0.05))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    want = float(ref.MaxMarginRankingLoss(margin=0.2, fix_norm=True)(t_sims))
+    got = float(C.max_margin_ranking_loss(jnp.array(sims), margin=0.2, fix_norm=True))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    want = float(ref.MaxMarginRankingLoss(margin=0.2, fix_norm=False)(t_sims))
+    got = float(C.max_margin_ranking_loss(jnp.array(sims), margin=0.2, fix_norm=False))
+    assert got == pytest.approx(want, rel=1e-5)
