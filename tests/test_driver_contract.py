@@ -20,6 +20,30 @@ def test_graft_entry_surface():
     assert callable(mod.dryrun_multichip)
 
 
+def test_dryrun_multichip_runs_in_driver_like_env():
+    """Execute dryrun_multichip(8) in a fresh subprocess WITHOUT conftest's
+    8-device CPU env — the round-1 failure mode (MULTICHIP_r01 rc=1) was exactly
+    that the entry only worked under the test mesh. The subprocess sees one CPU
+    device (no xla_force_host_platform_device_count), so dryrun_multichip must
+    bootstrap its own virtual mesh via re-exec."""
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # don't grab the real TPU from inside tests
+    env.pop("XLA_FLAGS", None)  # driver env has no virtual-mesh flag
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import importlib.util\n"
+         "spec = importlib.util.spec_from_file_location('ge', '/root/repo/__graft_entry__.py')\n"
+         "mod = importlib.util.module_from_spec(spec)\n"
+         "spec.loader.exec_module(mod)\n"
+         "mod.dryrun_multichip(8)\n"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1200)
+    assert out.returncode == 0, f"dryrun failed:\n{out.stderr[-3000:]}"
+    for variant in ("baseline", "global_local", "region_mem"):
+        assert f"dryrun_multichip[{variant}] OK" in out.stdout, out.stdout
+
+
 def test_bench_is_importable_and_prints_one_json_line():
     mod = _load("/root/repo/bench.py", "bench_mod")
     assert callable(mod.main)
