@@ -263,14 +263,17 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
     closed — no leaked threads or loader pools across epochs."""
     import jax
 
-    from oatx.parallel.mesh import batch_sharding
+    from oatx.parallel.mesh import batch_sharding, put_array
 
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     def put(batch):
         def _put(x):
             if isinstance(x, np.ndarray) and x.dtype != object:
-                return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+                # multi-host aware: assembles the global batch from the
+                # process-local shard when the mesh spans processes
+                return (put_array(mesh, x, sharding) if sharding is not None
+                        else jax.device_put(x))
             return x
         out = {}
         for k, v in batch.items():

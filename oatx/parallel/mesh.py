@@ -46,7 +46,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh covers devices of more than one JAX process (a real
+    multi-host pod). Then each process holds only its LOCAL slice of the global
+    batch (the loader shards by process_index — cli/train.py:48) and placement
+    must assemble the global array from per-process data."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def put_array(mesh: Mesh, x, sharding: Optional[NamedSharding] = None):
+    """Place one host array on the mesh, batch-dim sharded over `data`.
+
+    Single-host: a plain device_put of the (global) host batch. Multi-host: the
+    host array is the process-LOCAL shard, so use
+    jax.make_array_from_process_local_data — device_put of a local array to a
+    global sharding would silently treat each host's shard as the whole global
+    batch (reference semantics being replaced:
+    MultiDistBaseDataLoaderExplicitSplit, base_data_loader.py:110-130, where
+    each rank also loads only its split and NCCL sees the union)."""
+    s = sharding if sharding is not None else batch_sharding(mesh)
+    if spans_processes(mesh):
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+    return jax.device_put(x, s)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree on the mesh, batch-dim sharded."""
-    s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    """Place a host batch pytree on the mesh, batch-dim sharded (multi-host
+    aware — see put_array)."""
+    return jax.tree_util.tree_map(lambda x: put_array(mesh, x), batch)
