@@ -2,13 +2,24 @@
 
 Measures the full training step (forward both towers + global contrastive loss +
 backward + AdamW) of the reference pretrain config's model — ViT-B/16 divided
-space-time transformer (4×224² frames) + DistilBERT — at the reference's per-device
-batch size (16, configs/pt/cc3m_webvid/norm.json:43), bf16 compute / f32 master
-params, and prints ONE JSON line.
+space-time transformer (4×224² frames) + DistilBERT (reference model:
+configs/pt/cc3m_webvid/norm.json:66-99), bf16 compute / f32 master params — and
+prints ONE JSON line.
 
-Baseline: the reference publishes no throughput number; the implied V100 baseline
-for Frozen-in-time-style pretraining is ~8 clips/s/GPU (8 GPUs × batch 16 WebVid
-per step at ~1.6 s/step class hardware). vs_baseline = clips_per_sec_per_chip / 8.
+Batch size: the reference trains at 16 clips/GPU (norm.json:43). On this chip the
+measured-optimal per-chip batch is 8 WITHOUT remat (101 vs 91.3 clips/s at 16 —
+PERF.md batch sweep); per-clip cost is constant (bandwidth-bound), so we bench at
+the throughput-optimal point and the global batch is restored by the data-parallel
+axis on real topologies.
+
+Baseline (derived, labeled): the reference publishes NO training throughput. We
+derive a V100 figure from DeiT-B's published training cost — 300 epochs × 1.281M
+images in 53 h on 8×V100 (Touvron et al. 2020, §6) ⇒ 251.8 img/s/GPU at DeiT-B's
+105.7 GFLOP/img train step ⇒ 26.6 TFLOP/s effective per V100. At THIS model's
+FLOPs/clip that V100 rate gives `baseline.clips_per_sec` below;
+vs_baseline = ours / that. All FLOP numbers are true FLOPs (2·m·n·k per matmul,
+fwd+bwd = 3×fwd), computed analytically in `flops_forward_per_clip` so the MFU
+claim is checkable.
 """
 
 from __future__ import annotations
@@ -17,6 +28,47 @@ import json
 import time
 
 import numpy as np
+
+V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip spec peak (v5e: 197 bf16 TFLOP/s)
+# DeiT-B on 8xV100 (Touvron et al. 2020): 300 ep x 1.281M img / 53 h / 8 GPUs
+DEIT_B_IMG_PER_SEC_PER_V100 = 300 * 1_281_167 / (53 * 3600 * 8)  # ~251.8
+DEIT_B_TRAIN_FLOPS_PER_IMG = 3 * 35.2e9  # fwd 35.2 GFLOP (17.6 GMACs), x3 fwd+bwd
+V100_EFFECTIVE_FLOPS = DEIT_B_IMG_PER_SEC_PER_V100 * DEIT_B_TRAIN_FLOPS_PER_IMG
+
+
+def flops_forward_per_clip(vcfg, tcfg, seq_len: int) -> float:
+    """True matmul FLOPs of one clip's forward pass (both towers).
+
+    Video tower (oatx/models/vit_spacetime.py): T = 1 + F·N tokens; each block
+    has TWO attention sublayers (time + space, each qkv 6TD² + proj 2TD²) and an
+    MLP (16TD² at mlp_ratio 4). Attention einsums: space = patches over N+1 keys
+    per frame + cls over T; time = patches over F+1 keys + cls over T.
+    """
+    D = vcfg.embed_dim
+    F = vcfg.num_frames
+    N = vcfg.patches_per_frame
+    T = 1 + F * N
+    mlp_hidden = int(D * vcfg.mlp_ratio)
+
+    patch_embed = 2 * F * N * (vcfg.patch_size ** 2 * vcfg.in_chans) * D
+    per_block = (
+        2 * (6 * T * D * D + 2 * T * D * D)      # time + space qkv & out-proj
+        + 2 * (2 * T * D * mlp_hidden)           # mlp fc1 + fc2
+        + 4 * F * N * (N + 1) * D                # space attn QK^T + AV (patches)
+        + 4 * N * F * (F + 1) * D                # time attn QK^T + AV (patches)
+        + 2 * 4 * T * D                          # cls row in both sublayers
+    )
+    video = patch_embed + vcfg.depth * per_block + 2 * D * 256  # + projection
+
+    Dt = tcfg.dim
+    L = seq_len
+    per_text_block = (
+        6 * L * Dt * Dt + 2 * L * Dt * Dt        # qkv + out-proj
+        + 2 * (2 * L * Dt * tcfg.hidden_dim)     # mlp
+        + 4 * L * L * Dt                         # attention einsums
+    )
+    text = tcfg.n_layers * per_text_block + 2 * Dt * 256
+    return float(video + text)
 
 
 def main():
@@ -28,10 +80,7 @@ def main():
     from oatx.models import vit_spacetime as vst
     from oatx.train import optim, step as steplib
 
-    # per-chip batch 8 without remat measured fastest on the dev chip
-    # (71.8 clips/s vs 66.7 at batch 16 + full remat — PERF.md); the global
-    # batch is restored by the data-parallel axis on real topologies.
-    batch_size = 8
+    batch_size = 8  # measured-optimal per-chip batch (see module docstring)
     frames = 4
     seq_len = 24
 
@@ -55,10 +104,10 @@ def main():
         "attention_mask": jnp.ones((batch_size, seq_len), jnp.int32),
     }
 
-    state = train_step = None
+    cfg = state = train_step = None
     for remat in (False, True):  # non-remat first; remat fallback if compile fails
         try:
-            _, state, train_step = build(remat)
+            cfg, state, train_step = build(remat)
             state, _ = train_step(state, batch)  # compile + 1 step
             break
         except Exception:
@@ -80,13 +129,26 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     clips_per_sec = batch_size / dt
-    baseline_v100 = 8.0
+    fwd_flops = flops_forward_per_clip(cfg.video, cfg.text, seq_len)
+    step_flops_per_clip = 3.0 * fwd_flops  # fwd + bwd(2x), optimizer negligible
+    tflops_achieved = clips_per_sec * step_flops_per_clip / 1e12
+    baseline_clips = V100_EFFECTIVE_FLOPS / step_flops_per_clip
     print(json.dumps({
         "metric": "pretrain_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 3),
         "unit": "clips/s/chip (4x224^2 frames, fwd+bwd+adamw, bf16)",
-        "vs_baseline": round(clips_per_sec / baseline_v100, 3),
+        "vs_baseline": round(clips_per_sec / baseline_clips, 3),
         "step_time_ms": round(dt * 1e3, 2),
+        "batch_size": batch_size,
+        "flops_per_clip_fwd": round(fwd_flops / 1e9, 2),
+        "flops_per_clip_step": round(step_flops_per_clip / 1e9, 2),
+        "tflops_achieved": round(tflops_achieved, 2),
+        "mfu_vs_v5e_peak": round(tflops_achieved / V5E_BF16_PEAK_TFLOPS, 4),
+        "baseline": {
+            "name": "derived V100: DeiT-B 8xV100 published training rate scaled by FLOPs",
+            "clips_per_sec": round(baseline_clips, 2),
+            "v100_effective_tflops": round(V100_EFFECTIVE_FLOPS / 1e12, 2),
+        },
         "loss": float(metrics["loss"]),
     }))
 
