@@ -57,6 +57,10 @@ class SpaceTimeViTConfig:
     # Unrolled measures ~30% faster fwd+bwd on TPU (no scan-carry HBM round trips
     # or residual stacking — PERF.md) at similar compile time; scan remains
     # available for very deep models where compile time dominates.
+    cls_position: str = "last"        # 'last' | 'first' — activation token order.
+    # Purely internal: params keep the reference order (pos_embed row 0 = CLS),
+    # outputs are identical; 'last' makes every patch slice/concat tile-aligned
+    # on TPU (the cls-first +1 offset forces misaligned copies — PERF.md round 2).
 
     @property
     def patches_per_frame(self) -> int:
@@ -124,13 +128,19 @@ def init(rng: jax.Array, cfg: SpaceTimeViTConfig) -> Params:
 
 
 def _block_apply(cfg: SpaceTimeViTConfig, bp: Params, x: jnp.ndarray, f: int) -> jnp.ndarray:
+    cp = cfg.cls_position
     t_out = divided_attention(bp["timeattn"], layer_norm(bp["norm3"], x, LN_EPS),
-                              cfg.num_heads, f, mode="time")
+                              cfg.num_heads, f, mode="time", cls_pos=cp)
     u = x + t_out
     s_out = divided_attention(bp["attn"], layer_norm(bp["norm1"], u, LN_EPS),
-                              cfg.num_heads, f, mode="space")
+                              cfg.num_heads, f, mode="space", cls_pos=cp)
     r = x + s_out  # frozen-in-time style: residual from block input
     return r + mlp(bp["mlp"], layer_norm(bp["norm2"], r, LN_EPS))
+
+
+def _patches(cfg: SpaceTimeViTConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Patch-token rows of x in frame-major order (cls_position-aware)."""
+    return x[:, 1:] if cfg.cls_position == "first" else x[:, :-1]
 
 
 def embed(params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
@@ -144,16 +154,21 @@ def embed(params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray) -> Tuple[
     tokens = tokens.reshape(b, f * n, cfg.embed_dim)
 
     cls = jnp.broadcast_to(params["cls_token"].astype(tokens.dtype), (b, 1, cfg.embed_dim))
-    x = jnp.concatenate([cls, tokens], axis=1)
 
     pos = params["pos_embed"].astype(tokens.dtype)
-    cls_pos = pos[:, :1]
+    cls_pos = pos[:, :1]  # param layout keeps CLS at row 0 (reference order)
     tile_pos = jnp.tile(pos[:, 1:], (1, cfg.num_frames, 1))
     tile_temporal = jnp.repeat(
         params["temporal_embed"].astype(tokens.dtype), n, axis=1
     )
-    total = jnp.concatenate([cls_pos, tile_pos + tile_temporal], axis=1)
-    return x + total[:, : x.shape[1]], f
+    patch_pos = (tile_pos + tile_temporal)[:, : f * n]
+    if cfg.cls_position == "first":
+        x = jnp.concatenate([cls, tokens], axis=1)
+        total = jnp.concatenate([cls_pos, patch_pos], axis=1)
+    else:
+        x = jnp.concatenate([tokens, cls], axis=1)
+        total = jnp.concatenate([patch_pos, cls_pos], axis=1)
+    return x + total, f
 
 
 def apply(
@@ -192,17 +207,20 @@ def apply(
             head = jax.tree_util.tree_map(lambda a: a[:k], params["blocks"])
             tail = jax.tree_util.tree_map(lambda a: a[k:], params["blocks"])
             x, _ = jax.lax.scan(scan_body, x, head)
-            out["region"] = layer_norm(params["region_norm"], x[:, 1:], LN_EPS)
+            out["region"] = layer_norm(params["region_norm"], _patches(cfg, x), LN_EPS)
             x, _ = jax.lax.scan(scan_body, x, tail)
     else:
         for i in range(cfg.depth):
             bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
             x = block(bp, x)
             if k is not None and i == k - 1:
-                out["region"] = layer_norm(params["region_norm"], x[:, 1:], LN_EPS)
+                out["region"] = layer_norm(params["region_norm"], _patches(cfg, x), LN_EPS)
 
     x = layer_norm(params["norm"], x, LN_EPS)
-    cls, patches = x[:, 0], x[:, 1:]
+    if cfg.cls_position == "first":
+        cls, patches = x[:, 0], x[:, 1:]
+    else:
+        cls, patches = x[:, -1], x[:, :-1]
     if cfg.pooling == "cls":
         pooled = cls
     elif cfg.pooling == "cls_mean_half":

@@ -33,6 +33,19 @@ Params = Dict[str, Any]
 # Pallas kernel toggle: None = auto (TPU only), True/False = forced.
 _USE_PALLAS: Optional[bool] = None
 
+# divided-attention layout: 'legacy' (B,T,H,Dh head tensors) or 'nminor'
+# (H,Dh,B,...,token-minor tensors — see _divided_attention_nminor). Measured on
+# the dev chip (PERF.md round 2): legacy 77.1 ms/step vs nminor 80.4 — the
+# nminor relayout trades retile passes for lane-misaligned concats/slices and a
+# slower native-order qkv dot; legacy stays the default.
+_LAYOUT: str = "legacy"
+
+
+def set_layout(value: str) -> None:
+    assert value in ("legacy", "nminor")
+    global _LAYOUT
+    _LAYOUT = value
+
 
 def set_use_pallas(value: Optional[bool]) -> None:
     global _USE_PALLAS
@@ -84,10 +97,17 @@ def divided_attention(
     num_heads: int,
     num_frames: int,
     mode: str,
+    cls_pos: str = "first",
 ) -> jnp.ndarray:
     """One VarAttention pass with grouping `mode` ∈ {'space', 'time'}.
 
-    x: (B, 1 + F·N, D) with token order [CLS, f0p0..f0pN-1, f1p0, ...].
+    x: (B, 1 + F·N, D). cls_pos selects the token order:
+      'first' — [CLS, f0p0..f0pN-1, f1p0, ...] (the reference order);
+      'last'  — [f0p0..., f1p0..., CLS] (TPU layout optimization: patch
+                slices/concats become tile-ALIGNED prefix ops — the +1 offset
+                of cls-first forces misaligned copies of every head tensor,
+                profiled at several ms/step; see PERF.md round 2).
+    Semantics are identical either way (the caller permutes tokens).
     """
     b, t, d = x.shape
     f = num_frames
@@ -95,22 +115,27 @@ def divided_attention(
     assert 1 + f * n == t, f"token count {t} incompatible with {f} frames"
     h = num_heads
     dh = d // h
+    first = cls_pos == "first"
+
+    if _LAYOUT == "nminor" and not (mode == "space" and _pallas_enabled() and first):
+        return _divided_attention_nminor(params, x, h, f, n, mode, first)
 
     q, k, v = _qkv(params, x, h)  # (B, T, H, Dh), q scaled
 
     # CLS row: attends over every token (both groupings do this identically).
-    cls_q = q[:, :1]
+    cls_q = q[:, :1] if first else q[:, -1:]
     cls_logits = jnp.einsum("bqhd,bkhd->bhqk", cls_q, k, preferred_element_type=jnp.float32)
     cls_p = _softmax_f32(cls_logits, x.dtype)
     cls_out = jnp.einsum("bhqk,bkhd->bqhd", cls_p, v, preferred_element_type=jnp.float32)
     cls_out = cls_out.astype(x.dtype)  # (B, 1, H, Dh)
 
     # Patch tokens grouped.
-    qp = q[:, 1:].reshape(b, f, n, h, dh)
-    kp = k[:, 1:].reshape(b, f, n, h, dh)
-    vp = v[:, 1:].reshape(b, f, n, h, dh)
-    cls_k = k[:, :1]  # (B, 1, H, Dh)
-    cls_v = v[:, :1]
+    psl = slice(1, None) if first else slice(None, t - 1)
+    qp = q[:, psl].reshape(b, f, n, h, dh)
+    kp = k[:, psl].reshape(b, f, n, h, dh)
+    vp = v[:, psl].reshape(b, f, n, h, dh)
+    cls_k = k[:, :1] if first else k[:, -1:]  # (B, 1, H, Dh)
+    cls_v = v[:, :1] if first else v[:, -1:]
 
     if mode == "space" and _pallas_enabled():
         from oatx.ops.pallas.spacetime_attention import space_attention
@@ -155,5 +180,91 @@ def divided_attention(
     else:
         raise ValueError(f"mode must be 'space' or 'time', got {mode!r}")
 
-    full = jnp.concatenate([cls_out, out], axis=1).reshape(b, t, d)
+    parts = [cls_out, out] if first else [out, cls_out]
+    full = jnp.concatenate(parts, axis=1).reshape(b, t, d)
     return linear(params["proj"], full)
+
+
+def _divided_attention_nminor(
+    params: Params, x: jnp.ndarray, h: int, f: int, n: int, mode: str,
+    first: bool = True,
+) -> jnp.ndarray:
+    """divided_attention with token-minor head tensors (TPU layout optimization).
+
+    Identical math to the legacy path, different physical layout. The legacy
+    (B, T, H, Dh) head tensors put (H, Dh) = (12, 64) on the (8, 128)-tiled
+    minor dims — 2.7× padding that every slice/reshape/concat/transpose pays
+    (profiled at ~27 ms of a 78 ms train step, PERF.md round 2). Here every
+    head tensor is (H, Dh, B, ..., tokens): heads/head-dim are major (exact
+    tiles), the token axis rides the 128-lane dim, and qkv is produced directly
+    in its native dot order 'de,btd->ebt' so no retile pass exists at all. The
+    time branch needs no transposes (it is already N-minor — the legacy path's
+    layout fix, PERF.md finding 1, falls out for free) and the output
+    projection contracts straight from the head-major layout back to (B, T, D).
+    """
+    b, t, d = x.shape
+    dh = d // h
+    dt = x.dtype
+
+    w = params["qkv"]["kernel"].astype(dt)          # (D, 3D)
+    bias = params["qkv"]["bias"].astype(dt)         # (3D,)
+    qkv = jnp.einsum("de,btd->ebt", w, x) + bias[:, None, None]  # (3D, B, T)
+    q = qkv[:d].reshape(h, dh, b, t) * (dh ** -0.5)
+    k = qkv[d:2 * d].reshape(h, dh, b, t)
+    v = qkv[2 * d:].reshape(h, dh, b, t)
+
+    ci = 0 if first else t - 1
+    psl = slice(1, None) if first else slice(None, t - 1)
+
+    # CLS row: attends over every token (both groupings do this identically).
+    cls_logits = jnp.einsum("hdb,hdbk->bhk", q[..., ci], k,
+                            preferred_element_type=jnp.float32)
+    cls_p = _softmax_f32(cls_logits, dt)
+    cls_out = jnp.einsum("bhk,hdbk->bhd", cls_p, v,
+                         preferred_element_type=jnp.float32)
+    cls_out = cls_out.reshape(b, d).astype(dt)      # h-major flatten == legacy
+
+    qp = q[..., psl].reshape(h, dh, b, f, n)
+    kp = k[..., psl].reshape(h, dh, b, f, n)
+    vp = v[..., psl].reshape(h, dh, b, f, n)
+    k_cls = k[..., ci]                              # (H, Dh, B)
+    v_cls = v[..., ci]
+
+    if mode == "space":
+        # keys per frame = [CLS] + frame patches, concatenated on the lane axis
+        kg = jnp.concatenate(
+            [jnp.broadcast_to(k_cls[:, :, :, None, None], (h, dh, b, f, 1)), kp],
+            axis=4)
+        vg = jnp.concatenate(
+            [jnp.broadcast_to(v_cls[:, :, :, None, None], (h, dh, b, f, 1)), vp],
+            axis=4)
+        logits = jnp.einsum("hdbfq,hdbfk->hbfqk", qp, kg,
+                            preferred_element_type=jnp.float32)
+        p = _softmax_f32(logits, dt)
+        out = jnp.einsum("hbfqk,hdbfk->hdbfq", p, vg,
+                         preferred_element_type=jnp.float32).astype(dt)
+    elif mode == "time":
+        # keys per patch position = [CLS] + same-position frames. The (q=F,
+        # k=F+1) dims stay OFF the minor tiles (see legacy branch's layout
+        # note); logits are computed as a broadcast-multiply-reduce over Dh.
+        kg = jnp.concatenate(
+            [jnp.broadcast_to(k_cls[:, :, :, None, None], (h, dh, b, 1, n)), kp],
+            axis=3)                                  # (H, Dh, B, F+1, N)
+        vg = jnp.concatenate(
+            [jnp.broadcast_to(v_cls[:, :, :, None, None], (h, dh, b, 1, n)), vp],
+            axis=3)
+        logits = jnp.sum(
+            qp[:, :, :, :, None, :].astype(jnp.float32)
+            * kg[:, :, :, None, :, :].astype(jnp.float32), axis=1)  # (H,B,F,F+1,N)
+        p = jax.nn.softmax(logits, axis=-2).astype(dt)
+        out = jnp.sum(p[:, None] * vg[:, :, :, None], axis=4)       # (H,Dh,B,F,N)
+    else:
+        raise ValueError(f"mode must be 'space' or 'time', got {mode!r}")
+
+    # output projection straight from the head-major layout back to (B, T, D)
+    wp = params["proj"]["kernel"].astype(dt).reshape(h, dh, d)
+    bp = params["proj"]["bias"].astype(dt)
+    y_p = jnp.einsum("hdbfq,hdo->bfqo", out, wp).reshape(b, f * n, d)
+    y_c = jnp.einsum("be,eo->bo", cls_out, wp.reshape(d, d))
+    parts = [y_c[:, None], y_p] if first else [y_p, y_c[:, None]]
+    return jnp.concatenate(parts, axis=1) + bp
