@@ -143,9 +143,17 @@ class ShardedLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        return self.iter_batches(0)
+
+    def iter_batches(self, start_batch: int = 0) -> Iterator[Dict[str, Any]]:
+        """Iterate this epoch's batches starting at `start_batch` — pure index
+        arithmetic on the (seed, epoch, wrap)-keyed stream, so a mid-epoch
+        resume skips completed batches WITHOUT decoding them (the skipped
+        prefix is never fetched)."""
         idxs = self._epoch_indices()
         if self.drop_last:
             idxs = idxs[: (len(idxs) // self.batch_size) * self.batch_size]
+        idxs = idxs[start_batch * self.batch_size:]
 
         def fetch(i):
             rng = np.random.default_rng((self.seed, self.epoch, int(i)))
@@ -207,8 +215,26 @@ class MultiLoader:
         return agg(len(l) for l in self.loaders) * len(self.loaders)
 
     def __iter__(self):
-        its = [iter(l) for l in self.loaders]
-        exhausted = [False] * len(self.loaders)
+        return self.iter_from(0)
+
+    def iter_from(self, skip_cycles: int = 0):
+        """Iterate cycles starting at `skip_cycles` (mid-epoch resume): each
+        loader is positioned by index arithmetic — wrap count and in-epoch
+        offset — so no skipped batch is ever decoded. The resumed stream is
+        identical to the uninterrupted run's remainder (each wrap reshuffles
+        with the (seed, epoch, wrap) key, which is a pure function of the skip
+        count)."""
+        its = []
+        exhausted = []
+        for l in self.loaders:
+            n = len(l)
+            if skip_cycles and self.cycle_shorter:
+                l._wrap = skip_cycles // n
+                its.append(l.iter_batches(skip_cycles % n))
+                exhausted.append(skip_cycles >= n)
+            else:
+                its.append(l.iter_batches(skip_cycles))
+                exhausted.append(False)
         try:
             while True:
                 batches = []

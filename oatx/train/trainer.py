@@ -233,32 +233,37 @@ class Trainer:
 
     def _train_epoch(self, epoch: int, start_cycle: int = 0) -> Dict[str, float]:
         """start_cycle > 0 resumes mid-epoch after a preemption snapshot: the
-        first `start_cycle` loader cycles are skipped without stepping (sample
-        rngs are (seed, epoch, index)-keyed, so the remaining cycles see exactly
-        the batches they would have in the uninterrupted run)."""
+        completed cycles are skipped by INDEX ARITHMETIC in the loader
+        (MultiLoader.iter_from — no skipped batch is decoded; sample rngs are
+        (seed, epoch, index)-keyed so the remaining cycles see exactly the
+        batches they would have in the uninterrupted run).
+
+        Epoch loss is EXACT and sync-free: every step's loss is accumulated
+        into a per-loader device scalar (one tiny async op enqueued behind the
+        step — no host sync), fetched once at epoch end. The reference
+        accumulates every batch on the host (trainer_dist.py:163-167); the old
+        oatx behavior subsampled every log_step batches."""
         for l in self.train_loaders:
             l.set_epoch(epoch)
         multi = MultiLoader(self.train_loaders,
                             cycle_shorter=self.exp.trainer.cycle_shorter,
                             endless=bool(self.exp.trainer.len_epoch))
-        losses = [[] for _ in self.train_loaders]
-        # per-loader sampling period: fetching the loss forces a device sync, so
+        loss_sums = [jnp.zeros(()) for _ in self.train_loaders]  # on-device
+        # periodic console/TB line: fetching the loss forces a device sync, so
         # sample sparsely (reference log_step = sqrt(batch), trainer_dist.py:87);
-        # counted PER LOADER so alternating multi-loader runs sample every stream
+        # counted PER LOADER so alternating multi-loader runs log every stream
         log_step = max(1, int(np.sqrt(self.train_loaders[0].batch_size)))
         steps_per_loader = [0] * len(self.train_loaders)
         t0 = time.time()
-        cycles_done = 0
+        cycles_done = start_cycle
         last_metrics = None
         self.watchdog.start()
-        for loader_idx, batch in device_prefetch(iter(multi), self.mesh):
-            if cycles_done < start_cycle:  # mid-epoch resume fast-forward
-                if loader_idx == len(self.train_loaders) - 1:
-                    cycles_done += 1
-                continue
+        for loader_idx, batch in device_prefetch(multi.iter_from(start_cycle),
+                                                 self.mesh):
             batch.pop("meta", None)
             self.state, metrics = self.train_step(self.state, batch)
             last_metrics = metrics
+            loss_sums[loader_idx] = loss_sums[loader_idx] + metrics["loss"]
             steps_per_loader[loader_idx] += 1
             self.watchdog.beat()
             if loader_idx == len(self.train_loaders) - 1:
@@ -275,7 +280,6 @@ class Trainer:
                 break
             if (steps_per_loader[loader_idx] - 1) % log_step == 0:
                 loss = float(metrics["loss"])  # forces the chain (axon-safe timing)
-                losses[loader_idx].append(loss)
                 self.writer.set_step((epoch - 1) * self.cycles_per_epoch + cycles_done)
                 self.writer.add_scalar(f"loss_train_{loader_idx}", loss)
                 self.logger.info(
@@ -287,8 +291,8 @@ class Trainer:
                 break
         if last_metrics is not None:
             _ = float(last_metrics["loss"])  # drain device queue
-        return {f"loss_{i}": float(np.mean(l)) if l else float("nan")
-                for i, l in enumerate(losses)}
+        return {f"loss_{i}": float(s) / n if n else float("nan")
+                for i, (s, n) in enumerate(zip(loss_sums, steps_per_loader))}
 
     # ------------------------------------------------------------------ valid
 

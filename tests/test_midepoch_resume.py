@@ -91,3 +91,75 @@ def test_end_of_epoch_preempt_meta_starts_next_epoch(tmp_path):
     tr2 = Trainer(exp, build_loaders(exp, tok), [], save_dir=None, log_dir=None,
                   resume=str(tmp_path / "ck2" / "preempt-epoch1"))
     assert tr2.start_epoch == 2 and tr2._resume_cycle == 0
+
+
+def test_resume_fastforward_does_no_decode_work(tmp_path):
+    """MultiLoader.iter_from(k) must never fetch a skipped sample — resume of
+    cycle K does zero decode work for cycles < K (index arithmetic only)."""
+    from oatx.data.factory import build_dataset
+    from oatx.data.loader import Collator, MultiLoader, ShardedLoader
+
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"scene {i} dog" for i in range(40)], vocab_size=256)
+    cfg = _exp(tmp_path).data_loaders[0]
+    ds = build_dataset(cfg, variant="baseline")
+
+    fetched = []
+    real = ds.get_sample
+
+    class Spy:
+        def __getattr__(self, a):
+            return getattr(ds, a)
+
+        def __len__(self):
+            return len(ds)
+
+        def get_sample(self, i, rng):
+            fetched.append(i)
+            return real(i, rng)
+
+    def mk():
+        return ShardedLoader(Spy(), batch_size=8, collate=Collator(tok),
+                             shuffle=True, num_workers=1, seed=3)
+
+    # reference: full epoch stream (4 cycles), record which batch each sample
+    # belongs to
+    full = mk()
+    full.set_epoch(1)
+    stream = [b["meta"] for _, b in MultiLoader([full]).iter_from(0)]
+    assert len(stream) == 4
+    full_fetches = list(fetched)
+
+    # resumed: skip 2 cycles — only the last 2 batches' samples may be fetched
+    fetched.clear()
+    res = mk()
+    res.set_epoch(1)
+    tail = [b["meta"] for _, b in MultiLoader([res]).iter_from(2)]
+    assert len(tail) == 2
+    assert tail == stream[2:]
+    assert sorted(fetched) == sorted(full_fetches[2 * 8:])
+    assert len(fetched) == 16  # exactly the remaining samples, nothing more
+
+
+def test_epoch_loss_is_exact_all_batch_mean(tmp_path):
+    """The reported loss_i equals the mean over EVERY batch's loss (on-device
+    accumulation), not a log_step subsample."""
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"scene {i} dog" for i in range(40)], vocab_size=256)
+    exp = _exp(tmp_path, epochs=1)
+    tr = Trainer(exp, build_loaders(exp, tok), [], save_dir=None, log_dir=None)
+
+    # wrap the train step to record every batch's loss
+    seen = []
+    inner = tr.train_step
+
+    def spy_step(state, batch):
+        state, m = inner(state, batch)
+        seen.append(m["loss"])
+        return state, m
+
+    tr.train_step = spy_step
+    hist = tr.train()
+    assert len(seen) == tr.cycles_per_epoch
+    expect = float(np.mean([float(l) for l in seen]))
+    np.testing.assert_allclose(hist[1]["loss_0"], expect, rtol=1e-6)
