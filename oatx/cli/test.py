@@ -82,6 +82,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     for name, m in result.metrics.items():
         short = {"t2v_metrics": "t2v", "v2t_metrics": "v2t"}.get(name, name)
         logger.info(verbose(0, m, ds.dataset_name, short))
+    for stream, ms in result.object_streams.items():
+        # stream-3 object streams (reference test.py:287-291 o2v/o2t)
+        for name, m in ms.items():
+            logger.info(verbose(0, m, f"{ds.dataset_name}[{stream}]",
+                                name.replace("_metrics", "")))
+            result.metrics[f"{stream}_{name}"] = m
 
     # multiple-choice datasets (LSMDC_choice): candidate-caption accuracy
     if getattr(ds, "is_multiple_choice", False):

@@ -353,6 +353,14 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
         )
     if compute_dtype is None:
         compute_dtype = jnp.float32
+    object_tower = None
+    if arch.object_params.model or arch.stream == 3:
+        # reference arch.stream == 3 / object_params.model names an object
+        # branch that is bit-rotten upstream (oa_model.py:125-127); oatx maps
+        # it to the working object tower (models/object_tower.py)
+        from oatx.models.object_tower import ObjectTowerConfig
+
+        object_tower = ObjectTowerConfig(top_k=arch.object_params.top_k)
     return towers.TowerConfig(
         video=video,
         text=text,
@@ -361,4 +369,5 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
         projection=arch.projection,
         variant=arch.variant,
         compute_dtype=compute_dtype,
+        object_tower=object_tower,
     )

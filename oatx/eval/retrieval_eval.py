@@ -29,6 +29,12 @@ class EvalResult:
     sims: np.ndarray
     metrics: Dict[str, Dict[str, float]]
     meta: List[Dict[str, Any]]
+    # stream-3 object-embedding streams (reference test.py:287-291 sims_o2v /
+    # sims_o2t) — populated when the model has an object tower and the loader
+    # emits batch['object']: {'o2v': {metric: {...}}, 'o2t': ...}
+    object_streams: Dict[str, Dict[str, Dict[str, float]]] = dataclasses.field(
+        default_factory=dict)
+    object_embeds: Optional[np.ndarray] = None
 
 
 def ensemble_windows(
@@ -65,25 +71,38 @@ def evaluate(
     mesh=None,
     query_masks: Optional[np.ndarray] = None,
 ) -> EvalResult:
+    import jax
+
     eval_step = steplib.make_eval_step(tower_cfg)
+    obj_fn = None
+    if getattr(tower_cfg, "object_tower", None) is not None:
+        from oatx.models import towers
+
+        obj_fn = jax.jit(lambda p, o: towers.compute_object(p, tower_cfg, o))
     multiple = loader.batch_size
     if mesh is not None:
         from oatx.parallel.mesh import DATA_AXIS
 
         multiple = max(multiple, mesh.shape[DATA_AXIS])
-    texts, vids, metas = [], [], []
+    texts, vids, objs, metas = [], [], [], []
     for batch, n_valid in device_prefetch(
             padded_batches(iter(loader), multiple), mesh):
         meta = batch.pop("meta", [])
+        obj_feats = batch.pop("object", None)
         out = eval_step(params, batch)
         texts.append(np.asarray(out["text_embeds"])[:n_valid])
         vids.append(np.asarray(out["video_embeds"])[:n_valid])
+        if obj_fn is not None and obj_feats is not None:
+            objs.append(np.asarray(obj_fn(params, obj_feats))[:n_valid])
         metas.extend(meta[:n_valid])
     text_e = np.concatenate(texts)
     vid_e = np.concatenate(vids)
+    obj_e = np.concatenate(objs) if objs else None
 
     if metas and "window_group" in metas[0]:
         groups = np.asarray([m["window_group"] for m in metas])
+        if obj_e is not None:
+            _, obj_e = ensemble_windows(text_e, obj_e, groups)
         text_e, vid_e = ensemble_windows(text_e, vid_e, groups)
 
     if metas and "caption_group" in metas[0]:
@@ -103,7 +122,21 @@ def evaluate(
             results[name] = fn(sims, query_masks)
         else:
             results[name] = fn(sims)
-    return EvalResult(text_e, vid_e, sims, results, metas)
+
+    # stream-3 object streams: o2v = object↔video, o2t = text↔object
+    # (reference test.py:287-291; the caption_group full-cut protocol collapses
+    # videos per group, so object streams are reported on the per-row embeds)
+    object_streams: Dict[str, Dict[str, Dict[str, float]]] = {}
+    if obj_e is not None and obj_e.shape[0] == vid_e.shape[0]:
+        for stream, (a, b) in {
+            "o2v": (obj_e, vid_e),
+            "o2t": (text_e, obj_e),
+        }.items():
+            s = np.asarray(C.sim_matrix(jnp.array(a), jnp.array(b)))
+            object_streams[stream] = {
+                name: METRICS.get(name)(s) for name in metric_names}
+    return EvalResult(text_e, vid_e, sims, results, metas,
+                      object_streams=object_streams, object_embeds=obj_e)
 
 
 def evaluate_multiple_choice(

@@ -45,6 +45,10 @@ class TowerConfig:
     variant: str = "baseline"          # 'baseline' | 'global_local' | 'region_mem'
     region_embed_dim: int = 512        # CLIP text dim for region memory rows
     compute_dtype: Any = jnp.float32   # bf16 on TPU
+    object_tower: Optional[Any] = None  # ObjectTowerConfig → enables the
+    # object-feature branch (compute_object / o2v / o2t streams). The reference
+    # names this branch (oa_model.py:125-127, arch.stream == 3) but its
+    # object_model is never assigned upstream — see models/object_tower.py.
 
     def __post_init__(self):
         if self.variant == "region_mem" and self.video.region_tap_layer is None:
@@ -85,6 +89,13 @@ def init(rng: jax.Array, cfg: TowerConfig) -> Params:
             params["txt_proj_2"] = _proj_init(rs[6], cfg.region_embed_dim, cfg.projection_dim)
     elif cfg.projection != "":
         raise NotImplementedError(f"projection {cfg.projection!r}")
+    if cfg.object_tower is not None:
+        from oatx.models import object_tower as objt
+
+        r_obj = jax.random.split(rs[7], 2)
+        params["object_tower"] = objt.init(r_obj[0], cfg.object_tower)
+        params["obj_proj"] = _proj_init(r_obj[1], cfg.object_tower.dim,
+                                        cfg.projection_dim)
     return params
 
 
@@ -138,6 +149,21 @@ def compute_video(params: Params, cfg: TowerConfig, video: jnp.ndarray) -> Dict[
     if "region" in out:
         res["region"] = out["region"]
     return res
+
+
+def compute_object(params: Params, cfg: TowerConfig,
+                   objects: jnp.ndarray) -> jnp.ndarray:
+    """Object-feature embedding (B, proj_dim) from (B, K, 2054) BUTD features.
+
+    Working equivalent of the reference's broken compute_object
+    (oa_model.py:125-127 — its object_model attribute is never assigned); the
+    encoder design is oatx's (models/object_tower.py)."""
+    from oatx.models import object_tower as objt
+
+    assert cfg.object_tower is not None, "object tower not configured"
+    pooled = objt.apply(params["object_tower"], cfg.object_tower, objects,
+                        dtype=cfg.compute_dtype)
+    return linear(params["obj_proj"], pooled.astype(jnp.float32))
 
 
 def forward_baseline(
