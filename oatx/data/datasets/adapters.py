@@ -227,7 +227,10 @@ class DiDeMo(TextVideoDataset):
 
 @DATASETS.register("LSMDC")
 class LSMDC(TextVideoDataset):
-    """LSMDC: split lists + raw-captions.pkl (reference LSMDC_dataset.py)."""
+    """LSMDC: structured-symlinks/{split}_list.txt + raw-captions.pkl (dict
+    videoid → list of token-lists) + frame_tar_list.txt mapping ids to their
+    videos/<movie>/<stem>.avi locations (reference LSMDC_dataset.py:8-49).
+    When frame_tar_list.txt is absent, falls back to flat <id>.avi files."""
 
     def _load_metadata(self):
         import pickle
@@ -237,16 +240,36 @@ class LSMDC(TextVideoDataset):
             vids = [l.strip() for l in f if l.strip()]
         with open(os.path.join(sdir, "raw-captions.pkl"), "rb") as f:
             captions = pickle.load(f)
+
+        # reference LSMDC_dataset.py:29-37: frame_tar_list.txt rows are paths
+        # whose last two components give '<movie_dir>/<vid_stem>.tar'; videos
+        # live at data_dir/videos/<movie_dir>/<vid_stem>.avi
+        fn_by_stem = {}
+        tar_list = os.path.join(self.metadata_dir, "frame_tar_list.txt")
+        if os.path.exists(tar_list):
+            with open(tar_list) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    fn = "/".join(line.split("/")[-2:]).replace(".tar", "")
+                    fn_by_stem[fn.split("/")[-1]] = fn
+
         self.metadata = []
         for v in vids:
             caps = captions.get(v)
             if caps is None:
                 continue
-            texts = [" ".join(c) if isinstance(c, (list, tuple)) else str(c) for c in caps]
-            self.metadata.append({"videoid": v, "captions": texts})
+            texts = [" ".join(c) if isinstance(c, (list, tuple)) else str(c)
+                     for c in caps if c is not None]
+            self.metadata.append({"videoid": v, "captions": texts,
+                                  "fn": fn_by_stem.get(v)})
 
     def _get_video_path(self, rec):
-        rel = rec["videoid"] + ".avi"
+        if rec.get("fn"):
+            rel = os.path.join("videos", rec["fn"] + ".avi")
+        else:
+            rel = rec["videoid"] + ".avi"
         return os.path.join(self.data_dir, rel), rel
 
     def _get_caption(self, rec, rng):
