@@ -94,25 +94,26 @@ def v2t_metrics(
         mask = np.asarray(query_masks).reshape(-1).astype(bool)
         dists[:, ~mask] = MISSING_VAL
 
+    if break_ties not in ("optimistically", "averaging"):
+        raise ValueError(f"unknown tie-breaking method: {break_ties}")
+
+    # Rank of value v within the sorted row: first index where it appears is the
+    # count of strictly-smaller elements (searchsorted left); the reference's
+    # np.where(srow == v).mean() over the contiguous tie run equals
+    # first + (count-1)/2. One vectorized searchsorted per row replaces the
+    # O(caps) scan per caption (metric.py:123-212 semantics preserved).
     sorted_dists = np.sort(dists, axis=1)
     query_ranks = np.empty(num_queries, dtype=np.float64)
     for ii in range(num_queries):
-        row = dists[ii]
-        srow = sorted_dists[ii]
-        min_rank = np.inf
-        for jj in range(ii * caps_per_video, (ii + 1) * caps_per_video):
-            if row[jj] == MISSING_VAL:
-                continue
-            ranks = np.where(srow == row[jj])[0]
-            if break_ties == "optimistically":
-                rank = ranks[0]
-            elif break_ties == "averaging":
-                rank = ranks.mean()
-            else:
-                raise ValueError(f"unknown tie-breaking method: {break_ties}")
-            if rank < min_rank:
-                min_rank = rank
-        query_ranks[ii] = min_rank
+        gt_vals = dists[ii, ii * caps_per_video: (ii + 1) * caps_per_video]
+        first = np.searchsorted(sorted_dists[ii], gt_vals, side="left")
+        if break_ties == "optimistically":
+            ranks = first.astype(np.float64)
+        else:
+            cnt = np.searchsorted(sorted_dists[ii], gt_vals, side="right") - first
+            ranks = first + (cnt - 1) / 2.0
+        valid = gt_vals != MISSING_VAL
+        query_ranks[ii] = ranks[valid].min() if valid.any() else np.inf
     return cols2metrics(query_ranks, num_queries)
 
 
@@ -129,14 +130,12 @@ def retrieval_as_classification(
 
     query_ranks = []
     for ii in range(num_queries):
-        row = dists[ii]
-        srow = sorted_dists[ii]
-        label_ranks = []
-        for gt_label in np.where(query_masks[ii])[0]:
-            ranks = np.where(srow == row[gt_label])[0]
-            label_ranks.append(ranks.mean())
-        label_ranks = [x - idx for idx, x in enumerate(label_ranks)]
-        query_ranks.extend(label_ranks)
+        gt_vals = dists[ii, query_masks[ii].astype(bool)]
+        first = np.searchsorted(sorted_dists[ii], gt_vals, side="left")
+        cnt = np.searchsorted(sorted_dists[ii], gt_vals, side="right") - first
+        # averaged tie rank, then subtract out better-ranked GT labels
+        label_ranks = first + (cnt - 1) / 2.0 - np.arange(gt_vals.size)
+        query_ranks.extend(label_ranks.tolist())
     query_ranks = np.array(query_ranks)
     return cols2metrics(query_ranks, num_queries=len(query_ranks))
 

@@ -194,3 +194,12 @@ def test_metrics_match_reference_module_exactly():
     got = v2t_metrics(sims_g, query_masks=masks)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9), ("v2t masked", k)
+
+    # classification-style ranking (multi-hot labels, averaged ties)
+    sims_c = np.round(rng.standard_normal((9, 7)) * 2) / 4.0
+    masks_c = (rng.uniform(size=(9, 7)) > 0.4).astype(float)
+    masks_c[:, masks_c.sum(axis=0) == 0] = 1.0  # every video has >= 1 label
+    want = ref.retrieval_as_classification(sims_c, query_masks=masks_c)
+    got = retrieval_as_classification(sims_c, query_masks=masks_c)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), ("classification", k)
