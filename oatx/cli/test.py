@@ -43,6 +43,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     tower_cfg = build_tower_config(
         exp.cfg.arch,
         compute_dtype=jnp.bfloat16 if exp.cfg.trainer.precision == "bf16" else jnp.float32)
+    if exp.cfg.trainer.model_parallel > 1 and tower_cfg.video.fused_mlp:
+        # no GSPMD rule for pallas_call — keep the XLA MLP path under TP
+        import dataclasses as _dc
+
+        object.__setattr__(tower_cfg, "video",
+                           _dc.replace(tower_cfg.video, fused_mlp=False))
     mesh = meshlib.make_mesh(model_parallel=exp.cfg.trainer.model_parallel)
 
     from oatx.models import towers
@@ -124,6 +130,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if caps and vids and result.sims.shape[0] == len(caps):
             vis.from_sims(result.sims, caps, vids)
             logger.info("wrote retrieval gallery → %s", vis.write())
+
+    if getattr(exp.args, "sims_out", None):
+        # raw caption×video similarity matrix (reference test.py:284 `sims`) —
+        # lets downstream tooling (and the full-pipeline parity test) inspect
+        # rank orderings rather than just the aggregated metrics
+        import numpy as np
+
+        np.save(exp.args.sims_out, result.sims)
+        logger.info("saved sims %s → %s", result.sims.shape, exp.args.sims_out)
 
     print(json.dumps({n: {k: round(float(v), 3) for k, v in m.items()}
                       for n, m in result.metrics.items()}))

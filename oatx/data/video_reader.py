@@ -53,7 +53,8 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
     lib.oatx_write_test_video.restype = ctypes.c_int
     lib.oatx_write_test_video.argtypes = [
-        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint]
     lib.oatx_version.restype = ctypes.c_char_p
     _lib = lib
     return lib
@@ -121,9 +122,12 @@ def read_frames(
 
 
 def write_test_video(path: str, width: int = 128, height: int = 96,
-                     num_frames: int = 32, fps: int = 8) -> None:
-    """Synthesize an MJPEG/AVI fixture clip (tests/demos; no ffmpeg CLI needed)."""
+                     num_frames: int = 32, fps: int = 8, seed: int = 0) -> None:
+    """Synthesize an MJPEG/AVI fixture clip (tests/demos; no ffmpeg CLI needed).
+    seed=0 is the historical pattern; nonzero seeds produce visually distinct
+    content (pattern frequency/phase + chroma)."""
     lib = _load_lib()
-    rc = lib.oatx_write_test_video(path.encode(), width, height, num_frames, fps)
+    rc = lib.oatx_write_test_video(path.encode(), width, height, num_frames, fps,
+                                   seed & 0xFFFFFFFF)
     if rc != 0:
         raise DecodeError(f"test video write failed ({rc}): {path}")

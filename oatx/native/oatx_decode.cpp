@@ -219,7 +219,16 @@ int oatx_decode_indices(const char* path, const int64_t* indices, int n,
 // Write a synthetic MJPEG/AVI clip (n solid-ish frames with a moving gradient,
 // frame index encoded in the top-left 8x8 block brightness). For fixtures only.
 int oatx_write_test_video(const char* path, int width, int height, int n,
-                          int fps) {
+                          int fps, unsigned seed) {
+  // seed 0 keeps the historical pattern; nonzero seeds vary spatial
+  // frequency, phase and chroma so multi-video fixtures are visually distinct
+  // (rank-parity tests need separable content).
+  unsigned s = seed * 2654435761u;
+  const int phase = (int)(s & 0xFFu);
+  const int fx = 1 + (int)((s >> 8) & 3u);
+  const int fy = 1 + (int)((s >> 10) & 3u);
+  const int cu = 128 + (int)((s >> 12) & 0x3Fu) - 32;
+  const int cv = 128 + (int)((s >> 18) & 0x3Fu) - 32;
   const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MJPEG);
   if (!enc) return -1;
   AVFormatContext* fmt = nullptr;
@@ -252,7 +261,7 @@ int oatx_write_test_video(const char* path, int width, int height, int n,
     for (int y = 0; y < height; y++)
       for (int x = 0; x < width; x++)
         frame->data[0][y * frame->linesize[0] + x] =
-            (uint8_t)((x + y + i * 16) & 0xFF);
+            (uint8_t)((x * fx + y * fy + i * 16 + phase) & 0xFF);
     // stamp frame index into an 8x8 flat block (survives JPEG)
     for (int y = 0; y < 8 && y < height; y++)
       for (int x = 0; x < 8 && x < width; x++)
@@ -260,8 +269,8 @@ int oatx_write_test_video(const char* path, int width, int height, int n,
             (uint8_t)std::min(255, 16 + i * 8);
     for (int y = 0; y < height / 2; y++)
       for (int x = 0; x < width / 2; x++) {
-        frame->data[1][y * frame->linesize[1] + x] = 128;
-        frame->data[2][y * frame->linesize[2] + x] = 128;
+        frame->data[1][y * frame->linesize[1] + x] = (uint8_t)cu;
+        frame->data[2][y * frame->linesize[2] + x] = (uint8_t)cv;
       }
     frame->pts = i;
     frame->quality = c->global_quality;
