@@ -61,6 +61,12 @@ class SpaceTimeViTConfig:
     # Purely internal: params keep the reference order (pos_embed row 0 = CLS),
     # outputs are identical; 'last' makes every patch slice/concat tile-aligned
     # on TPU (the cls-first +1 offset forces misaligned copies — PERF.md round 2).
+    fused_mlp: bool = True            # fused LN→fc1→GELU→fc2 (ops/pallas/ln_mlp):
+    # measured 1.18× on fwd+bwd at ViT-B shapes on the dev chip (PERF.md round
+    # 2 — the win is the leaner custom VJP; fwd alone is matmul-bound). The
+    # Pallas path engages only on TPU (XLA fallback is bit-identical math);
+    # CLIs auto-disable it when model_parallel > 1 because pallas_call carries
+    # no GSPMD partitioning rule (it would replicate TP-sharded MLP weights).
 
     @property
     def patches_per_frame(self) -> int:
@@ -135,6 +141,10 @@ def _block_apply(cfg: SpaceTimeViTConfig, bp: Params, x: jnp.ndarray, f: int) ->
     s_out = divided_attention(bp["attn"], layer_norm(bp["norm1"], u, LN_EPS),
                               cfg.num_heads, f, mode="space", cls_pos=cp)
     r = x + s_out  # frozen-in-time style: residual from block input
+    if cfg.fused_mlp:
+        from oatx.ops.pallas.ln_mlp import ln_mlp
+
+        return r + ln_mlp(bp["norm2"], bp["mlp"], r, LN_EPS)
     return r + mlp(bp["mlp"], layer_norm(bp["norm2"], r, LN_EPS))
 
 

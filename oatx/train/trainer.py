@@ -66,6 +66,13 @@ class Trainer:
 
         compute_dtype = jnp.bfloat16 if t.precision == "bf16" else jnp.float32
         self.tower_cfg = build_tower_config(exp.arch, compute_dtype=compute_dtype)
+        if t.model_parallel > 1 and self.tower_cfg.video.fused_mlp:
+            # pallas_call has no GSPMD partitioning rule — the fused MLP would
+            # replicate TP-sharded fc1/fc2 kernels; keep the XLA path under TP
+            import dataclasses as _dc
+
+            object.__setattr__(self.tower_cfg, "video",
+                               _dc.replace(self.tower_cfg.video, fused_mlp=False))
         self.loss_cfg = steplib.LossConfig(
             name=exp.loss.type, temperature=exp.loss.temperature,
             margin=exp.loss.margin, region_bce_weight=exp.loss.region_bce_weight,
