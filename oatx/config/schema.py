@@ -46,6 +46,7 @@ class VideoParamsCfg:
     depth: Optional[int] = None
     num_heads: Optional[int] = None
     remat: bool = False
+    sequence_parallel: bool = False  # shard token axis over the model mesh axis
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "VideoParamsCfg":
@@ -61,6 +62,7 @@ class VideoParamsCfg:
             depth=d.get("depth"),
             num_heads=d.get("num_heads"),
             remat=bool(_get(d, "remat", False)),
+            sequence_parallel=bool(_get(d, "sequence_parallel", False)),
         )
 
 
@@ -331,6 +333,7 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
         num_frames=vp.num_frames,
         time_init=vp.time_init,
         remat=vp.remat,
+        sequence_parallel=vp.sequence_parallel,
     )
     tp = arch.text_params
     if tp.family == "bert":

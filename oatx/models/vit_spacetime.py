@@ -61,6 +61,12 @@ class SpaceTimeViTConfig:
     # Purely internal: params keep the reference order (pos_embed row 0 = CLS),
     # outputs are identical; 'last' makes every patch slice/concat tile-aligned
     # on TPU (the cls-first +1 offset forces misaligned copies — PERF.md round 2).
+    sequence_parallel: bool = False   # shard the TOKEN axis of activations over
+    # the 'model' mesh axis between blocks (GSPMD sequence parallelism: the
+    # LN/residual/elementwise regions hold 1/mp of the (B, T, D) activations
+    # per chip; XLA inserts the all-gather/reduce-scatter pairs around the TP
+    # matmuls). Memory lever for long token counts (16-frame clips = 3137
+    # tokens); numerically identical (tests/test_sharding_rules.py).
     fused_mlp: bool = True            # fused LN→fc1→GELU→fc2 (ops/pallas/ln_mlp):
     # measured 1.18× on fwd+bwd at ViT-B shapes on the dev chip (PERF.md round
     # 2 — the win is the leaner custom VJP; fwd alone is matmul-bound). The
@@ -181,6 +187,22 @@ def embed(params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray) -> Tuple[
     return x + total, f
 
 
+def _sp_constrain(cfg: SpaceTimeViTConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Sequence-parallel activation annotation: (B, T, D) token axis sharded
+    over the model mesh axis (no-op without a registered mesh / model axis)."""
+    if not cfg.sequence_parallel:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from oatx.parallel import mesh as meshlib
+
+    mesh = meshlib.current_mesh()
+    if mesh is None or mesh.shape.get(meshlib.MODEL_AXIS, 1) <= 1:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(meshlib.DATA_AXIS, meshlib.MODEL_AXIS, None)))
+
+
 def apply(
     params: Params,
     cfg: SpaceTimeViTConfig,
@@ -193,8 +215,9 @@ def apply(
                  (only when cfg.region_tap_layer is set)
     """
     x, f = embed(params, cfg, video)
+    x = _sp_constrain(cfg, x)
 
-    block = lambda bp, xx: _block_apply(cfg, bp, xx, f)
+    block = lambda bp, xx: _sp_constrain(cfg, _block_apply(cfg, bp, xx, f))
     if cfg.remat:
         policy = None
         if cfg.remat_policy == "dots":
@@ -202,7 +225,8 @@ def apply(
             # the backward — much less recompute than full remat at modest memory
             policy = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
         block = jax.checkpoint(
-            lambda bp, xx: _block_apply(cfg, bp, xx, f), policy=policy)
+            lambda bp, xx: _sp_constrain(cfg, _block_apply(cfg, bp, xx, f)),
+            policy=policy)
 
     out: Dict[str, jnp.ndarray] = {}
     k = cfg.region_tap_layer

@@ -21,6 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# Process-wide current mesh: model code that wants to annotate ACTIVATION
+# shardings (e.g. sequence parallelism) needs the mesh object for
+# with_sharding_constraint; threading it through every pure forward signature
+# would pollute the pytree API, so make_mesh registers it here.
+_CURRENT: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT
+    _CURRENT = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT
+
 
 def make_mesh(
     n_devices: Optional[int] = None,
@@ -34,7 +49,9 @@ def make_mesh(
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    set_current_mesh(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -51,3 +51,38 @@ def test_shard_params_roundtrip():
     sharded = sharding.shard_params(mesh, params)
     np.testing.assert_array_equal(np.asarray(sharded["mlp"]["fc1"]["kernel"]),
                                   np.arange(64).reshape(8, 8))
+
+
+def test_sequence_parallel_is_numerically_identical():
+    """sequence_parallel shards the activation token axis over the model axis
+    (vit_spacetime._sp_constrain); outputs and gradients must equal the
+    unsharded run — GSPMD annotations may never change semantics. T = 9 here,
+    so the 2-way model shard is deliberately uneven."""
+    import dataclasses
+
+    import jax
+    from oatx.models import vit_spacetime as vst
+
+    mesh = meshlib.make_mesh(8, model_parallel=2)  # registers current mesh
+    cfg = vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=64,
+                                 depth=2, num_heads=4, num_frames=2,
+                                 time_init="random")
+    cfg_sp = dataclasses.replace(cfg, sequence_parallel=True)
+    params = sharding.shard_params(mesh, vst.init(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.standard_normal((8, 2, 32, 32, 3)), jnp.float32)
+    video = jax.device_put(video, meshlib.batch_sharding(mesh))
+
+    out = jax.jit(lambda p, v: vst.apply(p, cfg, v)["cls"])(params, video)
+    out_sp = jax.jit(lambda p, v: vst.apply(p, cfg_sp, v)["cls"])(params, video)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out),
+                               atol=1e-5, rtol=1e-5)
+
+    g = jax.jit(jax.grad(lambda p, v: jnp.sum(vst.apply(p, cfg, v)["cls"] ** 2)))(
+        params, video)
+    g_sp = jax.jit(jax.grad(lambda p, v: jnp.sum(vst.apply(p, cfg_sp, v)["cls"] ** 2)))(
+        params, video)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sp), jax.tree_util.tree_leaves(g)):
+        # gradients sum over resharded partials — f32 reduction-order noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
