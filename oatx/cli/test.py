@@ -43,12 +43,6 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     tower_cfg = build_tower_config(
         exp.cfg.arch,
         compute_dtype=jnp.bfloat16 if exp.cfg.trainer.precision == "bf16" else jnp.float32)
-    if exp.cfg.trainer.model_parallel > 1 and tower_cfg.video.fused_mlp:
-        # no GSPMD rule for pallas_call — keep the XLA MLP path under TP
-        import dataclasses as _dc
-
-        object.__setattr__(tower_cfg, "video",
-                           _dc.replace(tower_cfg.video, fused_mlp=False))
     mesh = meshlib.make_mesh(model_parallel=exp.cfg.trainer.model_parallel)
 
     from oatx.models import towers

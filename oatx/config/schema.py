@@ -226,6 +226,7 @@ class LossCfg:
     region_bce_weight: float = 0.1
     chunked: bool = False
     chunk_size: int = 4096
+    object_nce_weight: float = 0.0  # >0: train the stream-3 object tower
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "LossCfg":
@@ -237,6 +238,7 @@ class LossCfg:
             region_bce_weight=float(_get(args, "region_bce_weight", 0.1)),
             chunked=bool(_get(args, "chunked", False)),
             chunk_size=int(_get(args, "chunk_size", 4096)),
+            object_nce_weight=float(_get(args, "object_nce_weight", 0.0)),
         )
 
 

@@ -70,9 +70,9 @@ class SpaceTimeViTConfig:
     fused_mlp: bool = True            # fused LN→fc1→GELU→fc2 (ops/pallas/ln_mlp):
     # measured 1.18× on fwd+bwd at ViT-B shapes on the dev chip (PERF.md round
     # 2 — the win is the leaner custom VJP; fwd alone is matmul-bound). The
-    # Pallas path engages only on TPU (XLA fallback is bit-identical math);
-    # CLIs auto-disable it when model_parallel > 1 because pallas_call carries
-    # no GSPMD partitioning rule (it would replicate TP-sharded MLP weights).
+    # Pallas path engages only on TPU and only when the registered mesh has
+    # no model axis (pallas_call carries no GSPMD partitioning rule — it would
+    # replicate TP-sharded MLP weights); see ops/pallas/ln_mlp.use_pallas.
 
     @property
     def patches_per_frame(self) -> int:

@@ -137,7 +137,10 @@ def divided_attention(
     cls_k = k[:, :1] if first else k[:, -1:]  # (B, 1, H, Dh)
     cls_v = v[:, :1] if first else v[:, -1:]
 
-    if mode == "space" and _pallas_enabled():
+    if mode == "space" and _pallas_enabled() and first:
+        # the fused kernel's layout contract is CLS-first (spacetime_attention
+        # kernel rows); with cls_position='last' (the TPU default) fall through
+        # to the XLA path rather than silently mis-grouping tokens
         from oatx.ops.pallas.spacetime_attention import space_attention
 
         out_full = space_attention(q, k, v, f)

@@ -41,7 +41,18 @@ def set_use_pallas(value: Optional[bool]) -> None:
 def use_pallas() -> bool:
     if _USE_PALLAS is not None:
         return _USE_PALLAS
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    # pallas_call has no GSPMD partitioning rule: under tensor parallelism it
+    # would replicate the TP-sharded fc1/fc2 kernels per chip — fall back to
+    # the XLA path whenever the registered mesh has a model axis (single
+    # authority for this guard; callers need no special-casing)
+    from oatx.parallel import mesh as meshlib
+
+    m = meshlib.current_mesh()
+    if m is not None and m.shape.get(meshlib.MODEL_AXIS, 1) > 1:
+        return False
+    return True
 
 
 def _erf_approx(x):

@@ -24,7 +24,10 @@ MODEL_AXIS = "model"
 # Process-wide current mesh: model code that wants to annotate ACTIVATION
 # shardings (e.g. sequence parallelism) needs the mesh object for
 # with_sharding_constraint; threading it through every pure forward signature
-# would pollute the pytree API, so make_mesh registers it here.
+# would pollute the pytree API, so make_mesh registers it here. Semantics:
+# holds the LAST mesh make_mesh created and is read at TRACE time — a process
+# juggling several meshes must call make_mesh (or set_current_mesh) before
+# tracing sequence-parallel models against a different mesh.
 _CURRENT: Optional[Mesh] = None
 
 

@@ -63,6 +63,18 @@ def freeze_mask_transform(trainable_filter) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def exclude_subtrees(base_filter, roots: Tuple[str, ...]):
+    """Compose a trainable filter that additionally freezes whole top-level
+    param subtrees (e.g. an object tower no training loss consumes)."""
+
+    def f(path: Tuple[str, ...]) -> bool:
+        if len(path) > 0 and path[0] in roots:
+            return False
+        return True if base_filter is None else base_filter(path)
+
+    return f
+
+
 def linear_probe_filter(path: Tuple[str, ...]) -> bool:
     """Train only the projection heads (reference forzen_param semantics)."""
     return len(path) > 0 and ("proj" in path[0])

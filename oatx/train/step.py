@@ -44,6 +44,11 @@ class LossConfig:
     region_bce_weight: float = 0.1     # trainer_region_mem.py:165
     chunked: bool = False              # memory-efficient NormSoftmax (pod-scale
     chunk_size: int = 4096             # global batches; see contrastive.py)
+    object_nce_weight: float = 0.0     # stream-3: weight of the o2v + t2o NCE
+    # terms on the baseline loss. The reference names an object training branch
+    # that cannot run upstream (oa_model.py:125-127); this is oatx's working
+    # design — 0 keeps the object tower eval-only (and FROZEN: the trainer
+    # masks its updates so AdamW weight decay cannot erode untrained params).
 
 
 def _pair_loss(sims: jnp.ndarray, loss_cfg: LossConfig) -> jnp.ndarray:
@@ -73,7 +78,15 @@ def loss_fn(
     if cfg.variant == "baseline":
         text_e, video_e = towers.forward_baseline(params, cfg, batch)
         loss = _embed_pair_loss(text_e, video_e, loss_cfg)
-        return loss, {"loss": loss}
+        metrics = {"loss": loss}
+        if (loss_cfg.object_nce_weight > 0 and cfg.object_tower is not None
+                and "object" in batch):
+            obj_e = towers.compute_object(params, cfg, batch["object"])
+            l_obj = (_embed_pair_loss(obj_e, video_e, loss_cfg)
+                     + _embed_pair_loss(text_e, obj_e, loss_cfg))
+            loss = loss + loss_cfg.object_nce_weight * l_obj
+            metrics = {"loss": loss, "loss_object": l_obj}
+        return loss, metrics
     if cfg.variant == "global_local":
         out = towers.forward_global_local(params, cfg, batch)
         l_st2sv = _pair_loss(C.sim_matrix(out["text_embeds"], out["video_embeds"]), loss_cfg)

@@ -66,17 +66,11 @@ class Trainer:
 
         compute_dtype = jnp.bfloat16 if t.precision == "bf16" else jnp.float32
         self.tower_cfg = build_tower_config(exp.arch, compute_dtype=compute_dtype)
-        if t.model_parallel > 1 and self.tower_cfg.video.fused_mlp:
-            # pallas_call has no GSPMD partitioning rule — the fused MLP would
-            # replicate TP-sharded fc1/fc2 kernels; keep the XLA path under TP
-            import dataclasses as _dc
-
-            object.__setattr__(self.tower_cfg, "video",
-                               _dc.replace(self.tower_cfg.video, fused_mlp=False))
         self.loss_cfg = steplib.LossConfig(
             name=exp.loss.type, temperature=exp.loss.temperature,
             margin=exp.loss.margin, region_bce_weight=exp.loss.region_bce_weight,
-            chunked=exp.loss.chunked, chunk_size=exp.loss.chunk_size)
+            chunked=exp.loss.chunked, chunk_size=exp.loss.chunk_size,
+            object_nce_weight=exp.loss.object_nce_weight)
 
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(
             model_parallel=t.model_parallel)
@@ -110,10 +104,18 @@ class Trainer:
         schedule = optimlib.step_decay_schedule(
             exp.optimizer.lr, steps_per_epoch, exp.optimizer.milestones,
             exp.optimizer.gamma)
+        tf = optimlib.linear_probe_filter if linear_eval else None
+        if self.tower_cfg.object_tower is not None and not (
+                self.tower_cfg.variant == "baseline"
+                and self.loss_cfg.object_nce_weight > 0):
+            # stream-3 object tower present but no loss term consumes it:
+            # freeze it, or AdamW's weight decay would silently erode the
+            # untrained params toward zero over a pretrain run
+            tf = optimlib.exclude_subtrees(tf, ("object_tower", "obj_proj"))
         self.optimizer = optimlib.make_optimizer(
             lr=schedule, weight_decay=exp.optimizer.weight_decay,
             grad_clip=exp.optimizer.grad_clip,
-            trainable_filter=optimlib.linear_probe_filter if linear_eval else None)
+            trainable_filter=tf)
 
         # params: fresh init → optional reference-checkpoint import → shard
         rng = jax.random.PRNGKey(t.seed)

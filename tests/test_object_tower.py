@@ -124,3 +124,106 @@ def test_stream3_config_enables_object_tower():
     assert cfg.object_tower is not None
     assert cfg.object_tower.top_k == 8
     assert cfg.object_tower.feature_dim == 2054
+
+
+# ------------------------------------------------- review fixes (round 2)
+
+def test_unused_object_tower_is_frozen_against_weight_decay():
+    """A stream-3 object tower no loss consumes must be FROZEN: AdamW weight
+    decay alone would otherwise erode the untrained params every step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from oatx.train import optim as optimlib
+
+    params = {"object_tower": {"kernel": jnp.ones((4, 4))},
+              "obj_proj": {"kernel": jnp.ones((4, 2))},
+              "vid_proj": {"kernel": jnp.ones((4, 2))}}
+    tf = optimlib.exclude_subtrees(None, ("object_tower", "obj_proj"))
+    tx = optimlib.make_optimizer(lr=1e-2, weight_decay=0.1, trainable_filter=tf)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)  # no loss signal
+    for _ in range(3):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(params["object_tower"]["kernel"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(params["obj_proj"]["kernel"]), 1.0)
+    # the consumed head DOES decay (sanity that the optimizer is live)
+    assert np.all(np.asarray(params["vid_proj"]["kernel"]) < 1.0)
+
+
+def test_object_nce_trains_the_object_tower():
+    """loss.args.object_nce_weight > 0 adds o2v + t2o NCE terms on the baseline
+    loss and produces real gradients for the object tower."""
+    import jax
+    import jax.numpy as jnp
+
+    from oatx.models import distilbert as dbert, towers, vit_spacetime as vst
+    from oatx.models.object_tower import ObjectTowerConfig
+    from oatx.train import step as steplib
+
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=64,
+                                     depth=1, num_heads=4, num_frames=2),
+        text=dbert.DistilBertConfig(vocab_size=64, max_position_embeddings=16,
+                                    dim=64, hidden_dim=128, n_layers=1, n_heads=4),
+        projection_dim=16, variant="baseline",
+        object_tower=ObjectTowerConfig(top_k=3))
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(rng.standard_normal((4, 2, 32, 32, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(0, 64, (4, 8))),
+        "attention_mask": jnp.ones((4, 8), jnp.int32),
+        "object": jnp.asarray(rng.standard_normal((4, 3, 2054)), jnp.float32),
+    }
+    on = steplib.LossConfig(object_nce_weight=0.5)
+    off = steplib.LossConfig()
+
+    (loss_on, m_on), g_on = jax.value_and_grad(steplib.loss_fn, has_aux=True)(
+        params, cfg, on, batch)
+    (loss_off, m_off), g_off = jax.value_and_grad(steplib.loss_fn, has_aux=True)(
+        params, cfg, off, batch)
+    assert "loss_object" in m_on and "loss_object" not in m_off
+    assert float(loss_on) != float(loss_off)
+    gnorm_on = sum(float(jnp.abs(g).sum())
+                   for g in jax.tree_util.tree_leaves(g_on["object_tower"]))
+    gnorm_off = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(g_off["object_tower"]))
+    assert gnorm_on > 0 and gnorm_off == 0
+
+
+def test_pallas_space_optin_falls_back_for_cls_last():
+    """set_use_pallas(True) with cls_position='last' must NOT reach the
+    CLS-first kernel (it would silently mis-group tokens); the XLA path runs
+    and matches the kernel-disabled result exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from oatx.ops import attention as attn
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 9, 32)) * 0.1, jnp.float32)
+    p = {"qkv": {"kernel": jnp.asarray(rng.standard_normal((32, 96)) * 0.05),
+                 "bias": jnp.zeros((96,))},
+         "proj": {"kernel": jnp.asarray(rng.standard_normal((32, 32)) * 0.05),
+                  "bias": jnp.zeros((32,))}}
+    try:
+        attn.set_use_pallas(True)
+        got = attn.divided_attention(p, x, 4, 2, mode="space", cls_pos="last")
+    finally:
+        attn.set_use_pallas(None)
+    want = attn.divided_attention(p, x, 4, 2, mode="space", cls_pos="last")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_cpu_mesh_flags_raises_existing_count():
+    import __graft_entry__ as g
+
+    assert g._cpu_mesh_flags("", 8).endswith("device_count=8")
+    kept = g._cpu_mesh_flags("--xla_force_host_platform_device_count=16", 8)
+    assert "device_count=16" in kept
+    raised = g._cpu_mesh_flags(
+        "--foo --xla_force_host_platform_device_count=4 --bar", 8)
+    assert "device_count=8" in raised and "--foo" in raised and "--bar" in raised
