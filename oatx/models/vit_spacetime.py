@@ -61,6 +61,12 @@ class SpaceTimeViTConfig:
     # Purely internal: params keep the reference order (pos_embed row 0 = CLS),
     # outputs are identical; 'last' makes every patch slice/concat tile-aligned
     # on TPU (the cls-first +1 offset forces misaligned copies — PERF.md round 2).
+    fused_qkv: bool = False           # LN→qkv as one custom-VJP op (XLA fwd +
+    # hand-written backward, ops/pallas/ln_linear). Measured 1.25x on the
+    # ISOLATED sublayer fwd+bwd but 0.92x on the full train step (103.6 →
+    # 95.0 clips/s): the custom_vjp boundary blocks XLA's cross-op fusion
+    # with the surrounding attention/residual graph. Kept opt-in as a
+    # documented negative result (PERF.md round 2).
     sequence_parallel: bool = False   # shard the TOKEN axis of activations over
     # the 'model' mesh axis between blocks (GSPMD sequence parallelism: the
     # LN/residual/elementwise regions hold 1/mp of the (B, T, D) activations
@@ -141,11 +147,21 @@ def init(rng: jax.Array, cfg: SpaceTimeViTConfig) -> Params:
 
 def _block_apply(cfg: SpaceTimeViTConfig, bp: Params, x: jnp.ndarray, f: int) -> jnp.ndarray:
     cp = cfg.cls_position
-    t_out = divided_attention(bp["timeattn"], layer_norm(bp["norm3"], x, LN_EPS),
-                              cfg.num_heads, f, mode="time", cls_pos=cp)
-    u = x + t_out
-    s_out = divided_attention(bp["attn"], layer_norm(bp["norm1"], u, LN_EPS),
-                              cfg.num_heads, f, mode="space", cls_pos=cp)
+    if cfg.fused_qkv:
+        # pre-norm LN rides inside the attention qkv op (custom VJP)
+        t_out = divided_attention(bp["timeattn"], x, cfg.num_heads, f,
+                                  mode="time", cls_pos=cp,
+                                  ln_params=bp["norm3"], ln_eps=LN_EPS)
+        u = x + t_out
+        s_out = divided_attention(bp["attn"], u, cfg.num_heads, f,
+                                  mode="space", cls_pos=cp,
+                                  ln_params=bp["norm1"], ln_eps=LN_EPS)
+    else:
+        t_out = divided_attention(bp["timeattn"], layer_norm(bp["norm3"], x, LN_EPS),
+                                  cfg.num_heads, f, mode="time", cls_pos=cp)
+        u = x + t_out
+        s_out = divided_attention(bp["attn"], layer_norm(bp["norm1"], u, LN_EPS),
+                                  cfg.num_heads, f, mode="space", cls_pos=cp)
     r = x + s_out  # frozen-in-time style: residual from block input
     if cfg.fused_mlp:
         from oatx.ops.pallas.ln_mlp import ln_mlp

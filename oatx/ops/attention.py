@@ -64,11 +64,20 @@ def _softmax_f32(logits: jnp.ndarray, dtype) -> jnp.ndarray:
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
 
 
-def _qkv(params: Params, x: jnp.ndarray, num_heads: int):
-    """(B, T, D) → q, k, v each (B, T, H, Dh); q pre-scaled."""
+def _qkv(params: Params, x: jnp.ndarray, num_heads: int,
+         ln_params: Optional[Params] = None, ln_eps: float = 1e-6):
+    """(B, T, D) → q, k, v each (B, T, H, Dh); q pre-scaled. When `ln_params`
+    is given, x is the PRE-norm residual stream and LN+qkv run as one
+    custom-VJP op (ops/pallas/ln_linear — the hand-written backward is 1.25x
+    over XLA autodiff at ViT-B shapes, PERF.md round 2)."""
     b, t, d = x.shape
     head_dim = d // num_heads
-    qkv = linear(params["qkv"], x)  # (B, T, 3D)
+    if ln_params is not None:
+        from oatx.ops.pallas.ln_linear import ln_linear
+
+        qkv = ln_linear(ln_params, params["qkv"], x, ln_eps)  # (B, T, 3D)
+    else:
+        qkv = linear(params["qkv"], x)  # (B, T, 3D)
     qkv = qkv.reshape(b, t, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = q * (head_dim ** -0.5)
@@ -98,6 +107,8 @@ def divided_attention(
     num_frames: int,
     mode: str,
     cls_pos: str = "first",
+    ln_params: Optional[Params] = None,
+    ln_eps: float = 1e-6,
 ) -> jnp.ndarray:
     """One VarAttention pass with grouping `mode` ∈ {'space', 'time'}.
 
@@ -118,9 +129,12 @@ def divided_attention(
     first = cls_pos == "first"
 
     if _LAYOUT == "nminor" and not (mode == "space" and _pallas_enabled() and first):
-        return _divided_attention_nminor(params, x, h, f, n, mode, first)
+        from oatx.ops.layers import layer_norm
 
-    q, k, v = _qkv(params, x, h)  # (B, T, H, Dh), q scaled
+        xx = layer_norm(ln_params, x, ln_eps) if ln_params is not None else x
+        return _divided_attention_nminor(params, xx, h, f, n, mode, first)
+
+    q, k, v = _qkv(params, x, h, ln_params, ln_eps)  # (B, T, H, Dh), q scaled
 
     # CLS row: attends over every token (both groupings do this identically).
     cls_q = q[:, :1] if first else q[:, -1:]

@@ -1,25 +1,20 @@
-"""Fused LayerNorm → Linear — Pallas TPU kernel.
+"""LayerNorm → Linear as one custom-VJP op (XLA forward, hand-written backward).
 
-PERF.md (round 1-2) shows the train step is HBM-bandwidth-bound: every
-transformer block pays three LN → matmul pairs (norm1→qkv, norm3→time-qkv,
-norm2→fc1), and XLA cannot fuse a row reduction into a matmul prologue — the
-normalized activations make a full HBM round trip (write + re-read ≈ 2× the
-activation bytes) per pair, ~24 extra passes over (B·T, D) per forward.
+Measured on the dev chip (PERF.md round 2): the FORWARD is matmul-bound — XLA
+already folds the LN affine into the matmul prologue, and a Pallas fused
+forward runs 0.82-0.96x of XLA at ViT-B shapes. The win is the BACKWARD:
+XLA autodiff of the LN→matmul chain spends ~25% more than the lean VJP below
+(1.125 vs 0.902 ms fwd+bwd for LN→qkv at B·T=6280, K=768), which recomputes
+the stats from the saved x instead of keeping the normalized tensor alive,
+and keeps exactly four matmuls (dW, dz, and the forward pair). So the default
+path is pure XLA both directions (GSPMD/TP-sharding friendly); the Pallas
+forward kernel is retained behind set_use_pallas(True) for re-measurement on
+topologies with a different bandwidth:compute ratio.
 
-This kernel computes y = LN(x) @ W + b in one pass: each grid program loads a
-row tile of x into VMEM, computes f32 mean/rstd on the VPU, applies the affine,
-and feeds the MXU directly — x is read once, the normalized tensor never
-touches HBM. W has a constant index map, so Mosaic keeps it resident in VMEM
-across the row grid.
-
-Numerics match ops.layers.layer_norm → linear exactly in structure: f32
-statistics, affine in f32, matmul inputs cast to the compute dtype, f32
-accumulation, bias in f32 (layers.py conventions; reference semantics
+Numerics match ops.layers.layer_norm → linear in structure: f32 statistics,
+affine in f32, matmul inputs cast to the compute dtype, f32 accumulation,
+bias in f32 (layers.py conventions; reference semantics
 video_transformer.py:35-51, 228-266).
-
-Backward (custom_vjp): standard LN+matmul gradient in XLA — big dW/dx matmuls
-go to the MXU; stats are recomputed from the saved x (cheaper than saving the
-normalized tensor, and remat-friendly).
 """
 
 from __future__ import annotations
@@ -94,7 +89,12 @@ def _fwd_xla(x2d, gamma, beta, w, b, eps: float):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _ln_linear2d(x2d, gamma, beta, w, b, eps):
-    if use_pallas():
+    # forward stays on XLA: the Pallas forward measured 0.82-0.96x of XLA at
+    # ViT-B shapes (PERF.md); the hand-written VJP below is the win (1.25x on
+    # fwd+bwd vs autodiff: 0.902 vs 1.125 ms for LN->qkv). Pure-XLA both ways
+    # also means GSPMD TP sharding works unchanged. _fwd_pallas remains for
+    # re-measurement on other topologies (set_use_pallas(True)).
+    if _USE_PALLAS:
         return _fwd_pallas(x2d, gamma, beta, w, b, eps, _ROW_TILE)
     return _fwd_xla(x2d, gamma, beta, w, b, eps)
 

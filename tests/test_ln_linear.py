@@ -190,3 +190,30 @@ def test_vit_block_fused_flag_forward_identical():
     for a, b in zip(flat_f, flat_u):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_vit_block_fused_qkv_flag_matches_unfused():
+    """fused_qkv=True (LN inside the attention qkv custom-VJP op) must match
+    the unfused block's forward and gradients on CPU."""
+    from oatx.models import vit_spacetime as vst
+
+    rng = np.random.default_rng(9)
+    mk = lambda fused: vst.SpaceTimeViTConfig(
+        img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+        num_frames=2, time_init="random", fused_qkv=fused, fused_mlp=False)
+    params = vst.init(jax.random.PRNGKey(2), mk(True))
+    video = jnp.asarray(rng.standard_normal((2, 2, 32, 32, 3)), jnp.float32)
+
+    out_f = vst.apply(params, mk(True), video)
+    out_u = vst.apply(params, mk(False), video)
+    np.testing.assert_allclose(np.asarray(out_f["cls"]), np.asarray(out_u["cls"]),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(p, fused):
+        return jnp.sum(vst.apply(p, mk(fused), video)["cls"] ** 2)
+
+    g_f = jax.grad(loss)(params, True)
+    g_u = jax.grad(loss)(params, False)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
