@@ -259,6 +259,7 @@ class TrainerCfg:
     accum_steps: int = 1       # gradient accumulation micro-steps
     zero1: bool = False        # shard optimizer state over the data axis
     cycle_shorter: bool = False  # wrap shorter loaders instead of truncating
+    skip_nonfinite: bool = False  # non-finite loss/grad step = no-op (crash-free)
     # iteration-based training (reference len_epoch + inf_loop,
     # trainer_dist.py:72-79): fixed cycles per epoch, loaders cycle endlessly
     len_epoch: Optional[int] = None

@@ -139,6 +139,7 @@ def make_train_step(
     augment: Optional[Callable] = None,
     base_rng: Optional[jax.Array] = None,
     accum_steps: int = 1,
+    skip_nonfinite: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. State is donated (params updated in place in
     HBM). Shard the batch over the mesh's data axis before calling. If `augment`
@@ -149,7 +150,13 @@ def make_train_step(
     the reference has no equivalent — SURVEY.md §2.5). NOTE: with the
     contrastive loss, negatives then span a micro-batch rather than the full
     batch — the loss value reflects micro-batch negatives, like training with a
-    smaller batch at the same optimizer cadence."""
+    smaller batch at the same optimizer cadence.
+
+    skip_nonfinite=True makes a step whose loss or gradients are non-finite a
+    NO-OP (params, optimizer moments and the step counter keep their previous
+    values; metrics report skipped=1). One corrupt batch then cannot poison
+    the Adam moments — crash-free large-scale pretraining; the reference would
+    NaN the whole run (trainer_dist.py has no guard)."""
     if base_rng is None:
         base_rng = jax.random.PRNGKey(0)
 
@@ -187,7 +194,17 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        new_state = TrainState(params, opt_state, state.step + 1)
+        if skip_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(metrics["grad_norm"])
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+            new_state = TrainState(keep(new_state.params, state.params),
+                                   keep(new_state.opt_state, state.opt_state),
+                                   jnp.where(ok, new_state.step, state.step))
+            metrics["skipped"] = (~ok).astype(jnp.float32)
+            metrics["loss"] = jnp.where(ok, loss, jnp.float32(0))
+        return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -161,7 +161,7 @@ class Trainer:
         self.train_step = steplib.make_train_step(
             self.tower_cfg, self.loss_cfg, self.optimizer,
             augment=self.augment, base_rng=jax.random.PRNGKey(t.seed + 1),
-            accum_steps=t.accum_steps)
+            accum_steps=t.accum_steps, skip_nonfinite=t.skip_nonfinite)
         self.eval_step = steplib.make_eval_step(self.tower_cfg)
         self.not_improved = 0
 

@@ -88,3 +88,47 @@ def test_zero1_sharding_runs_and_matches(tiny):
     if mu is not None:
         leaf = mu["text"]["embeddings"]["word"]
         assert "data" in str(leaf.sharding.spec)
+
+
+def test_skip_nonfinite_step_is_noop():
+    """A batch that produces a non-finite loss must leave params, moments and
+    the step counter untouched (skip_nonfinite=True) instead of poisoning the
+    Adam moments; a clean batch afterwards trains normally."""
+    import jax
+    import jax.numpy as jnp
+
+    from oatx.models import distilbert as dbert, towers, vit_spacetime as vst
+    from oatx.train import optim, step as steplib
+
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=1, num_heads=2, num_frames=2),
+        text=dbert.DistilBertConfig(vocab_size=64, max_position_embeddings=16,
+                                    dim=32, hidden_dim=64, n_layers=1, n_heads=2),
+        projection_dim=8, variant="baseline")
+    optimizer = optim.make_optimizer(lr=1e-3)
+    state = steplib.init_state(jax.random.PRNGKey(0), cfg, optimizer)
+    step = steplib.make_train_step(cfg, steplib.LossConfig(), optimizer,
+                                   donate=False, skip_nonfinite=True)
+    rng = np.random.default_rng(0)
+    clean = {
+        "video": jnp.asarray(rng.standard_normal((4, 2, 32, 32, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(0, 64, (4, 8))),
+        "attention_mask": jnp.ones((4, 8), jnp.int32)}
+    poisoned = dict(clean)
+    poisoned["video"] = clean["video"].at[0, 0, 0, 0, 0].set(jnp.nan)
+
+    s1, m1 = step(state, poisoned)
+    assert float(m1["skipped"]) == 1.0
+    assert int(s1.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s2, m2 = step(s1, clean)
+    assert float(m2["skipped"]) == 0.0 and np.isfinite(float(m2["loss"]))
+    assert int(s2.step) == int(state.step) + 1
+    changed = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                                  jax.tree_util.tree_leaves(s1.params)))
+    assert changed
