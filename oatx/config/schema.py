@@ -258,6 +258,8 @@ class TrainerCfg:
     seed: int = 0
     accum_steps: int = 1       # gradient accumulation micro-steps
     zero1: bool = False        # shard optimizer state over the data axis
+    fsdp: bool = False         # ZeRO-3 analogue: params (+ their moments)
+    # sharded over the data axis (GSPMD weight-gathered schedule); subsumes zero1
     cycle_shorter: bool = False  # wrap shorter loaders instead of truncating
     skip_nonfinite: bool = False  # non-finite loss/grad step = no-op (crash-free)
     # iteration-based training (reference len_epoch + inf_loop,

@@ -21,7 +21,7 @@ from typing import Any, Dict, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from oatx.parallel.mesh import MODEL_AXIS
+from oatx.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 _COL_PARALLEL = ("fc1", "lin1", "qkv", "q", "k", "v", "intermediate")
 _ROW_PARALLEL = ("fc2", "lin2", "proj", "out", "output")
@@ -70,6 +70,48 @@ def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
 
 def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
     sh = param_shardings(mesh, params)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)
+
+
+def fsdp_param_specs(
+    params: Dict[str, Any], mesh: Mesh, min_size: int = 2 ** 16
+) -> Dict[str, Any]:
+    """FSDP-style (ZeRO-3 analogue) parameter sharding, pure GSPMD: every
+    sizeable leaf additionally shards ONE dimension over the DATA axis (the
+    first divisible dim the Megatron model-axis rules left free). XLA inserts
+    the all-gather at each use and the reduce-scatter on the gradient — the
+    weight-gathered FSDP schedule — so per-chip HBM for params AND their Adam
+    moments drops to ~1/data_size. Leaves smaller than min_size stay on the
+    base spec (gather latency would dominate). Composes with tensor
+    parallelism: a leaf can end up P(..., 'data', ..., 'model', ...).
+    SURVEY.md §2.5 lists optimizer sharding as the pjit freebie; this is the
+    same mechanism one annotation further."""
+    data_size = mesh.shape[DATA_AXIS]
+    base = param_specs(params, mesh)
+
+    def upgrade(leaf, spec):
+        if data_size <= 1 or not hasattr(leaf, "ndim") or leaf.ndim == 0                 or leaf.size < min_size:
+            return spec
+        taken = set(i for i, ax in enumerate(spec) if ax is not None)
+        for dim in range(leaf.ndim):
+            if dim in taken:
+                continue
+            if leaf.shape[dim] % data_size == 0 and leaf.shape[dim] >= data_size:
+                new = list(spec) + [None] * (leaf.ndim - len(spec))
+                new[dim] = DATA_AXIS
+                return P(*new)
+        return spec
+
+    return jax.tree_util.tree_map(
+        upgrade, params, base, is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params_fsdp(mesh: Mesh, params: Dict[str, Any],
+                      min_size: int = 2 ** 16) -> Dict[str, Any]:
+    specs = fsdp_param_specs(params, mesh, min_size=min_size)
+    sh = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), specs,
+        is_leaf=lambda x: isinstance(x, P))
     return jax.tree_util.tree_map(jax.device_put, params, sh)
 
 

@@ -127,9 +127,12 @@ class Trainer:
             params = ckptlib.import_initial_weights(
                 exp.arch.load_checkpoint, self.tower_cfg, params,
                 temporal_fix=exp.arch.load_temporal_fix)
-        params = shardlib.shard_params(self.mesh, params)
+        if t.fsdp:
+            params = shardlib.shard_params_fsdp(self.mesh, params)
+        else:
+            params = shardlib.shard_params(self.mesh, params)
         self.state = steplib.init_state(rng, self.tower_cfg, self.optimizer, params=params)
-        if t.zero1:
+        if t.zero1 and not t.fsdp:  # fsdp already shards the moments with the params
             self.state = steplib.TrainState(
                 self.state.params,
                 shardlib.shard_opt_state_zero1(self.mesh, self.state.opt_state),

@@ -86,3 +86,34 @@ def test_sequence_parallel_is_numerically_identical():
         # gradients sum over resharded partials — f32 reduction-order noise
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_fsdp_sharding_is_numerically_identical():
+    """FSDP-style param sharding (data-axis dim on every sizeable leaf) must
+    not change forward results — GSPMD all-gathers at use."""
+    import jax
+    from oatx.models import vit_spacetime as vst
+
+    mesh = meshlib.make_mesh(8, model_parallel=2)
+    cfg = vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=64,
+                                 depth=2, num_heads=4, num_frames=2,
+                                 time_init="random")
+    raw = vst.init(jax.random.PRNGKey(3), cfg)
+    p_rep = sharding.shard_params(mesh, raw)
+    p_fsdp = jax.tree_util.tree_map(
+        jax.device_put, raw,
+        jax.tree_util.tree_map(
+            lambda spec: jax.sharding.NamedSharding(mesh, spec),
+            sharding.fsdp_param_specs(raw, mesh, min_size=1024),
+            is_leaf=lambda x: isinstance(x, P)))
+    # at least the MLP kernels must actually be data-sharded
+    spec = p_fsdp["blocks"]["mlp"]["fc1"]["kernel"].sharding.spec
+    assert "data" in tuple(spec), spec
+
+    rng = np.random.default_rng(0)
+    video = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, 2, 32, 32, 3)), jnp.float32),
+        meshlib.batch_sharding(mesh))
+    a = jax.jit(lambda p, v: vst.apply(p, cfg, v)["cls"])(p_rep, video)
+    b = jax.jit(lambda p, v: vst.apply(p, cfg, v)["cls"])(p_fsdp, video)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
