@@ -36,14 +36,15 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    src = os.path.join(_NATIVE_DIR, "oatx_decode.cpp")
-    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    inputs = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
+              if f.endswith((".cpp", ".h")) or f == "Makefile"]
+    stale = (os.path.exists(_LIB_PATH) and inputs
+             and max(map(os.path.getmtime, inputs)) > os.path.getmtime(_LIB_PATH))
     if not os.path.exists(_LIB_PATH) or stale:
-        # build on first use — and REBUILD when the source is newer than the
-        # .so: the C ABI has grown arguments (e.g. the fixture writer's seed);
-        # a stale library would silently drop them (extra ctypes args are
-        # discarded by the calling convention, no error is raised)
+        # build on first use — and REBUILD when ANY build input (source,
+        # headers, Makefile flags) is newer than the .so: the C ABI has grown
+        # arguments (e.g. the fixture writer's seed) and ctypes silently drops
+        # extras, so a stale library misbehaves without any error
         subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.oatx_probe.restype = ctypes.c_int

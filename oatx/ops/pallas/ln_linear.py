@@ -38,9 +38,10 @@ def set_use_pallas(value: Optional[bool]) -> None:
 
 
 def use_pallas() -> bool:
-    if _USE_PALLAS is not None:
-        return _USE_PALLAS
-    return jax.default_backend() == "tpu"
+    """True only when explicitly opted in (set_use_pallas(True)): the Pallas
+    forward measured 0.82-1.07x of XLA, so the default dispatch is XLA on
+    every backend (mirrors _ln_linear2d's actual branch)."""
+    return bool(_USE_PALLAS)
 
 
 def _kernel(x_ref, g_ref, bb_ref, w_ref, b_ref, y_ref, *, eps: float):

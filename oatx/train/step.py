@@ -204,6 +204,7 @@ def make_train_step(
                                    jnp.where(ok, new_state.step, state.step))
             metrics["skipped"] = (~ok).astype(jnp.float32)
             metrics["loss"] = jnp.where(ok, loss, jnp.float32(0))
+            metrics["grad_norm"] = jnp.where(ok, metrics["grad_norm"], jnp.float32(0))
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -74,6 +74,10 @@ class Trainer:
 
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(
             model_parallel=t.model_parallel)
+        # explicit mesh= bypasses make_mesh's registration — register it so the
+        # mesh-consulting guards (ln_mlp.use_pallas TP fallback, _sp_constrain)
+        # see the mesh actually in use
+        meshlib.set_current_mesh(self.mesh)
 
         # batches are sharded over the mesh's data axis; catch indivisible
         # batch sizes here with a config-level message instead of letting
@@ -105,13 +109,25 @@ class Trainer:
             exp.optimizer.lr, steps_per_epoch, exp.optimizer.milestones,
             exp.optimizer.gamma)
         tf = optimlib.linear_probe_filter if linear_eval else None
-        if self.tower_cfg.object_tower is not None and not (
-                self.tower_cfg.variant == "baseline"
-                and self.loss_cfg.object_nce_weight > 0):
-            # stream-3 object tower present but no loss term consumes it:
-            # freeze it, or AdamW's weight decay would silently erode the
-            # untrained params toward zero over a pretrain run
-            tf = optimlib.exclude_subtrees(tf, ("object_tower", "obj_proj"))
+        if self.tower_cfg.object_tower is not None:
+            # the object NCE term only fires when batches CARRY object
+            # features (step.loss_fn checks 'object' in batch) — unfreeze only
+            # when the loss is configured AND the data plane supplies them;
+            # otherwise freeze, or AdamW's weight decay would silently erode
+            # the untrained params toward zero over a pretrain run
+            object_in_data = any(
+                getattr(getattr(l, "dataset", None), "opts", None) is not None
+                and l.dataset.opts.features for l in train_loaders)
+            trains_object = (self.tower_cfg.variant == "baseline"
+                             and self.loss_cfg.object_nce_weight > 0
+                             and object_in_data)
+            if self.loss_cfg.object_nce_weight > 0 and not object_in_data:
+                self.logger.warning(
+                    "loss.object_nce_weight > 0 but no train loader supplies "
+                    "object features (object_params.input_objects) — the "
+                    "object tower stays FROZEN")
+            if not trains_object:
+                tf = optimlib.exclude_subtrees(tf, ("object_tower", "obj_proj"))
         self.optimizer = optimlib.make_optimizer(
             lr=schedule, weight_decay=exp.optimizer.weight_decay,
             grad_clip=exp.optimizer.grad_clip,
@@ -143,9 +159,32 @@ class Trainer:
         self.monitor_best = np.inf if self.monitor_mode == "min" else -np.inf
         if resume:
             restored, meta = ckptlib.restore_checkpoint(resume, self.state)
+            # re-place restored state with the SAME layout a fresh run gets:
+            # fsdp shards params+moments over the data axis, zero1 the moments
+            # only — a base-spec re-place here would silently de-shard a
+            # resumed pod run (params+moments replicated → data_size× HBM)
+            if t.fsdp:
+                params_r = shardlib.shard_params_fsdp(self.mesh, restored["params"])
+            else:
+                params_r = shardlib.shard_params(self.mesh, restored["params"])
+            template = self.optimizer.init(params_r)
+            if t.zero1 and not t.fsdp:
+                template = shardlib.shard_opt_state_zero1(self.mesh, template)
+
+            def _put(r, tmpl):
+                # honor only mesh (Named) shardings from the template; scalar
+                # leaves like optax count are created single-device by init()
+                # and must stay UNCOMMITTED so jit may place them freely
+                from jax.sharding import NamedSharding
+
+                sh = getattr(tmpl, "sharding", None)
+                if isinstance(sh, NamedSharding):
+                    return jax.device_put(jnp.asarray(r), sh)
+                return jnp.asarray(r)
+
             self.state = steplib.TrainState(
-                shardlib.shard_params(self.mesh, restored["params"]),
-                jax.tree_util.tree_map(jnp.asarray, restored["opt_state"]),
+                params_r,
+                jax.tree_util.tree_map(_put, restored["opt_state"], template),
                 jnp.asarray(restored["step"]))
             self._resume_cycle = 0
             if meta.get("cycles_done") is not None and \
@@ -261,6 +300,7 @@ class Trainer:
                             cycle_shorter=self.exp.trainer.cycle_shorter,
                             endless=bool(self.exp.trainer.len_epoch))
         loss_sums = [jnp.zeros(()) for _ in self.train_loaders]  # on-device
+        valid_sums = [jnp.zeros(()) for _ in self.train_loaders]  # non-skipped
         # periodic console/TB line: fetching the loss forces a device sync, so
         # sample sparsely (reference log_step = sqrt(batch), trainer_dist.py:87);
         # counted PER LOADER so alternating multi-loader runs log every stream
@@ -276,6 +316,8 @@ class Trainer:
             self.state, metrics = self.train_step(self.state, batch)
             last_metrics = metrics
             loss_sums[loader_idx] = loss_sums[loader_idx] + metrics["loss"]
+            valid_sums[loader_idx] = valid_sums[loader_idx] + 1.0 - metrics.get(
+                "skipped", 0.0)  # on-device: no sync; == step count unless skipping
             steps_per_loader[loader_idx] += 1
             self.watchdog.beat()
             if loader_idx == len(self.train_loaders) - 1:
@@ -303,8 +345,14 @@ class Trainer:
                 break
         if last_metrics is not None:
             _ = float(last_metrics["loss"])  # drain device queue
-        return {f"loss_{i}": float(s) / n if n else float("nan")
-                for i, (s, n) in enumerate(zip(loss_sums, steps_per_loader))}
+        out = {}
+        for i, (s, v, n) in enumerate(zip(loss_sums, valid_sums, steps_per_loader)):
+            nv = float(v) if n else 0.0  # single fetch per loader per epoch
+            out[f"loss_{i}"] = float(s) / nv if nv else float("nan")
+            if n and nv < n:
+                self.logger.warning("loader %d: %d/%d steps skipped (non-finite)",
+                                    i, n - int(nv), n)
+        return out
 
     # ------------------------------------------------------------------ valid
 

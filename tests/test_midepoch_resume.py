@@ -163,3 +163,47 @@ def test_epoch_loss_is_exact_all_batch_mean(tmp_path):
     assert len(seen) == tr.cycles_per_epoch
     expect = float(np.mean([float(l) for l in seen]))
     np.testing.assert_allclose(hist[1]["loss_0"], expect, rtol=1e-6)
+
+
+def test_fsdp_resume_preserves_sharded_layout(tmp_path):
+    """A resumed trainer.fsdp run must re-place params AND optimizer moments
+    with the FSDP specs — a base-spec re-place would silently de-shard the
+    pod run (params+moments replicated → data_size× HBM)."""
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"scene {i} dog" for i in range(40)], vocab_size=256)
+    exp = _exp(tmp_path, epochs=1)
+    exp.trainer.fsdp = True
+    # big enough kernels that fsdp's min_size threshold actually shards some
+    # leaves on the 8-way data axis (fc1: 128x512 = 65536 elements)
+    exp.arch.video_params.embed_dim = 128
+    exp.arch.video_params.num_heads = 4
+    tr = Trainer(exp, build_loaders(exp, tok), [],
+                 save_dir=str(tmp_path / "ck"), log_dir=None)
+    tr.train()
+    ckptlib.save_checkpoint(tmp_path / "ck", "final", tr.state, 1, 0.0)
+
+    tr2 = Trainer(exp, build_loaders(exp, tok), [], save_dir=None, log_dir=None,
+                  resume=str(tmp_path / "ck" / "final"))
+    # values round-trip
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # layout round-trips: the resumed INITIAL placement must match what a
+    # fresh fsdp trainer's initial placement looks like (post-training state
+    # shardings are XLA's choice and not the comparison point)
+    tr3 = Trainer(exp, build_loaders(exp, tok), [], save_dir=None, log_dir=None)
+    fresh = jax.tree_util.tree_leaves(tr3.state.params) + \
+        jax.tree_util.tree_leaves(tr3.state.opt_state)
+    resumed = jax.tree_util.tree_leaves(tr2.state.params) + \
+        jax.tree_util.tree_leaves(tr2.state.opt_state)
+    n_sharded = 0
+    for a, b in zip(fresh, resumed):
+        sa = getattr(a, "sharding", None)
+        sb = getattr(b, "sharding", None)
+        if sa is not None and getattr(sa, "spec", None) and "data" in tuple(
+                x for x in sa.spec if x is not None):
+            n_sharded += 1
+            # specs may differ in trailing size-1 axes; compare placements
+            assert sb is not None and sa.is_equivalent_to(sb, a.ndim), (
+                sa.spec, sb.spec)
+    assert n_sharded > 0, "no leaf was fsdp-sharded — the check proved nothing"

@@ -100,12 +100,7 @@ def test_fsdp_sharding_is_numerically_identical():
                                  time_init="random")
     raw = vst.init(jax.random.PRNGKey(3), cfg)
     p_rep = sharding.shard_params(mesh, raw)
-    p_fsdp = jax.tree_util.tree_map(
-        jax.device_put, raw,
-        jax.tree_util.tree_map(
-            lambda spec: jax.sharding.NamedSharding(mesh, spec),
-            sharding.fsdp_param_specs(raw, mesh, min_size=1024),
-            is_leaf=lambda x: isinstance(x, P)))
+    p_fsdp = sharding.shard_params_fsdp(mesh, raw, min_size=1024)
     # at least the MLP kernels must actually be data-sharded
     spec = p_fsdp["blocks"]["mlp"]["fc1"]["kernel"].sharding.spec
     assert "data" in tuple(spec), spec
