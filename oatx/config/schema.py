@@ -260,6 +260,9 @@ class TrainerCfg:
     zero1: bool = False        # shard optimizer state over the data axis
     fsdp: bool = False         # ZeRO-3 analogue: params (+ their moments)
     # sharded over the data axis (GSPMD weight-gathered schedule); subsumes zero1
+    pipeline: bool = False     # model axis = GPipe stages over the video block
+    # stack (parallel/pipeline.py) instead of Megatron TP kernel shards
+    pipeline_microbatches: int = 4
     cycle_shorter: bool = False  # wrap shorter loaders instead of truncating
     skip_nonfinite: bool = False  # non-finite loss/grad step = no-op (crash-free)
     # iteration-based training (reference len_epoch + inf_loop,

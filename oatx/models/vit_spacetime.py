@@ -61,6 +61,10 @@ class SpaceTimeViTConfig:
     # Purely internal: params keep the reference order (pos_embed row 0 = CLS),
     # outputs are identical; 'last' makes every patch slice/concat tile-aligned
     # on TPU (the cls-first +1 offset forces misaligned copies — PERF.md round 2).
+    pipeline_stages: int = 1          # >1: GPipe pipeline over the block stack
+    # (parallel/pipeline.py) — the model mesh axis holds stages instead of
+    # Megatron TP shards; region_tap unsupported in this mode.
+    pipeline_microbatches: int = 4
     fused_qkv: bool = False           # LN→qkv as one custom-VJP op (XLA fwd +
     # hand-written backward, ops/pallas/ln_linear). Measured 1.25x on the
     # ISOLATED sublayer fwd+bwd but 0.92x on the full train step (103.6 →
@@ -246,7 +250,18 @@ def apply(
 
     out: Dict[str, jnp.ndarray] = {}
     k = cfg.region_tap_layer
-    if cfg.scan_blocks:
+    if cfg.pipeline_stages > 1:
+        from oatx.parallel import mesh as meshlib
+        from oatx.parallel.pipeline import pipeline_blocks
+
+        assert k is None, "pipeline parallelism does not support region taps"
+        mesh = meshlib.current_mesh()
+        assert mesh is not None and \
+            mesh.shape.get(meshlib.MODEL_AXIS, 1) == cfg.pipeline_stages, (
+                "pipeline_stages must equal the registered mesh's model axis")
+        x = pipeline_blocks(mesh, block, params["blocks"], x,
+                            cfg.pipeline_stages, cfg.pipeline_microbatches)
+    elif cfg.scan_blocks:
         def scan_body(xx, bp):
             return block(bp, xx), None
 

@@ -136,3 +136,23 @@ def shard_opt_state_zero1(mesh: Mesh, opt_state) -> Any:
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(place, opt_state)
+
+
+def shard_params_pipeline(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Pipeline-parallel placement: the video tower's depth-stacked blocks are
+    sharded over the MODEL axis (stage s owns its block range — see
+    parallel/pipeline.py); everything else is replicated. Mutually exclusive
+    with the Megatron TP rules, which use the same axis for kernel shards."""
+    from oatx.parallel.pipeline import stage_block_specs
+
+    def specs(tree, path):
+        if isinstance(tree, dict):
+            return {k: specs(v, path + (k,)) for k, v in tree.items()}
+        if len(path) >= 2 and path[0] == "video" and path[1] == "blocks":
+            return P(MODEL_AXIS, *([None] * (tree.ndim - 1)))
+        return P()
+
+    sp = specs(params, ())
+    sh = jax.tree_util.tree_map(
+        lambda s_: NamedSharding(mesh, s_), sp, is_leaf=lambda x: isinstance(x, P))
+    return jax.tree_util.tree_map(jax.device_put, params, sh)

@@ -66,6 +66,19 @@ class Trainer:
 
         compute_dtype = jnp.bfloat16 if t.precision == "bf16" else jnp.float32
         self.tower_cfg = build_tower_config(exp.arch, compute_dtype=compute_dtype)
+        if t.pipeline:
+            # model axis becomes GPipe stages (mutually exclusive with the
+            # Megatron TP kernel rules, which use the same axis)
+            import dataclasses as _dc
+
+            if t.fsdp:
+                raise ValueError("trainer.pipeline and trainer.fsdp both use "
+                                 "structured placements — enable one")
+            self.tower_cfg = _dc.replace(
+                self.tower_cfg,
+                video=_dc.replace(self.tower_cfg.video,
+                                  pipeline_stages=t.model_parallel,
+                                  pipeline_microbatches=t.pipeline_microbatches))
         self.loss_cfg = steplib.LossConfig(
             name=exp.loss.type, temperature=exp.loss.temperature,
             margin=exp.loss.margin, region_bce_weight=exp.loss.region_bce_weight,
@@ -145,6 +158,8 @@ class Trainer:
                 temporal_fix=exp.arch.load_temporal_fix)
         if t.fsdp:
             params = shardlib.shard_params_fsdp(self.mesh, params)
+        elif t.pipeline and t.model_parallel > 1:
+            params = shardlib.shard_params_pipeline(self.mesh, params)
         else:
             params = shardlib.shard_params(self.mesh, params)
         self.state = steplib.init_state(rng, self.tower_cfg, self.optimizer, params=params)
@@ -165,6 +180,8 @@ class Trainer:
             # resumed pod run (params+moments replicated → data_size× HBM)
             if t.fsdp:
                 params_r = shardlib.shard_params_fsdp(self.mesh, restored["params"])
+            elif t.pipeline and t.model_parallel > 1:
+                params_r = shardlib.shard_params_pipeline(self.mesh, restored["params"])
             else:
                 params_r = shardlib.shard_params(self.mesh, restored["params"])
             template = self.optimizer.init(params_r)
