@@ -221,7 +221,18 @@ class Trainer:
             self.tower_cfg, self.loss_cfg, self.optimizer,
             augment=self.augment, base_rng=jax.random.PRNGKey(t.seed + 1),
             accum_steps=t.accum_steps, skip_nonfinite=t.skip_nonfinite)
-        self.eval_step = steplib.make_eval_step(self.tower_cfg)
+        eval_cfg = self.tower_cfg
+        if t.pipeline and self.tower_cfg.video.pipeline_stages > 1:
+            # eval batches are padded to the data axis, not to microbatch
+            # multiples — run eval through the sequential block path (GSPMD
+            # all-gathers the stage-sharded blocks; forward-only, so the
+            # pipeline schedule buys nothing there anyway)
+            import dataclasses as _dc
+
+            eval_cfg = _dc.replace(
+                self.tower_cfg,
+                video=_dc.replace(self.tower_cfg.video, pipeline_stages=1))
+        self.eval_step = steplib.make_eval_step(eval_cfg)
         self.not_improved = 0
 
         # preemption safety (beyond the reference — SURVEY.md §5 lists no elastic

@@ -72,3 +72,46 @@ def test_full_tower_pipeline_mode_matches(setup):
     got = jax.jit(lambda p, v: vst.apply(p, cfg_pp, v)["cls"])(params_pp, video)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_trainer_pipeline_mode_e2e(tmp_path):
+    """Full Trainer run with trainer.pipeline on the 4x2 CPU mesh (stages on
+    the model axis), incl. the padded eval path (runs sequentially)."""
+    from oatx.config.schema import ExperimentCfg
+    from oatx.data.factory import build_loaders
+    from oatx.data.tokenizer import WordPieceTokenizer
+    from oatx.train.trainer import Trainer
+
+    exp = ExperimentCfg.from_dict({
+        "name": "pp-e2e",
+        "arch": {"variant": "baseline", "args": {
+            "video_params": {"model": "SpaceTimeTransformer", "num_frames": 2,
+                             "input_res": 32, "embed_dim": 32, "depth": 2,
+                             "num_heads": 2, "pretrained": False},
+            "text_params": {"model": "distilbert-base-uncased", "pretrained": False,
+                            "vocab_size": 256, "dim": 32, "hidden_dim": 64,
+                            "n_layers": 1, "n_heads": 2},
+            "projection_dim": 8}},
+        "data_loader": [{"type": "x", "args": {
+            "dataset_name": "SyntheticVideoText",
+            "data_dir": str(tmp_path / "v"), "object_dir": "",
+            "batch_size": 8, "num_workers": 2, "split": "train",
+            "video_params": {"input_res": 32, "num_frames": 2,
+                             "num_videos": 16, "loading": "lax"}}}],
+        "optimizer": {"type": "AdamW", "args": {"lr": 1e-3}},
+        "loss": {"type": "NormSoftmaxLoss"},
+        "metrics": ["t2v_metrics"],
+        "trainer": {"epochs": 1, "save_dir": str(tmp_path / "e"),
+                    "monitor": "off", "init_val": False, "precision": "f32",
+                    "verbosity": 0, "seed": 0, "model_parallel": 2,
+                    "pipeline": True, "pipeline_microbatches": 2},
+    })
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"scene {i} dog" for i in range(40)], vocab_size=256)
+    tr = Trainer(exp, build_loaders(exp, tok), [], save_dir=None, log_dir=None)
+    assert tr.tower_cfg.video.pipeline_stages == 2
+    # blocks placed stage-sharded over the model axis
+    spec = tr.state.params["video"]["blocks"]["mlp"]["fc1"]["kernel"].sharding.spec
+    assert tuple(spec)[0] == "model", spec
+    hist = tr.train()
+    assert np.isfinite(hist[1]["loss_0"])
