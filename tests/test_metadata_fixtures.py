@@ -202,7 +202,7 @@ def test_eval_cli_over_msrvtt_fixture(msrvtt_root, tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     out = subprocess.run(
         [sys.executable, "-m", "oatx.cli.test", "-c", str(cfg_path)],
-        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=600)
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1800)
     assert out.returncode == 0, out.stderr[-2500:]
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     metrics = json.loads(line)

@@ -45,7 +45,7 @@ def test_validate_checkpoint_tool(tmp_path):
          "--num-frames", "2", "--img-size", "112", "--embed-dim", "128",
          "--depth", "2", "--num-heads", "4", "--projection-dim", "32",
          "--json", str(out_json)],
-        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=600)
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1800)
     assert out.returncode == 0, out.stdout[-1500:] + out.stderr[-1500:]
     manifest = json.loads(out_json.read_text())
     assert manifest["ok"] is True
