@@ -23,7 +23,6 @@ scaling-book pipelining recipe expressed in jax.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict
 
 import jax
@@ -117,7 +116,7 @@ def pipeline_blocks(
         out = jax.lax.psum(out, MODEL_AXIS)
         return out
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     nd = x.ndim  # x_micro has ndim + 1 dims: (M, mb, ...)
     fn = shard_map(
@@ -126,7 +125,7 @@ def pipeline_blocks(
         in_specs=(stage_block_specs(params_blocks),
                   Pspec_data_micro(nd)),
         out_specs=Pspec_data_micro(nd),
-        check_rep=False,
+        check_vma=False,  # ppermute/psum manual collectives
     )
     out = fn(params_blocks, x_micro)
     return out.reshape(B, *x.shape[1:])

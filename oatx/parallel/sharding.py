@@ -146,10 +146,12 @@ def shard_params_pipeline(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
     from oatx.parallel.pipeline import stage_block_specs
 
     def specs(tree, path):
+        if len(path) >= 2 and path[0] == "video" and path[1] == "blocks":
+            # delegate to the single source of truth for stage specs — these
+            # must match pipeline_blocks' shard_map in_specs exactly
+            return stage_block_specs(tree)
         if isinstance(tree, dict):
             return {k: specs(v, path + (k,)) for k, v in tree.items()}
-        if len(path) >= 2 and path[0] == "video" and path[1] == "blocks":
-            return P(MODEL_AXIS, *([None] * (tree.ndim - 1)))
         return P()
 
     sp = specs(params, ())

@@ -74,6 +74,11 @@ class Trainer:
             if t.fsdp:
                 raise ValueError("trainer.pipeline and trainer.fsdp both use "
                                  "structured placements — enable one")
+            if self.tower_cfg.video.sequence_parallel:
+                raise ValueError(
+                    "video_params.sequence_parallel cannot combine with "
+                    "trainer.pipeline: the sharding constraint targets mesh "
+                    "axes that are manual inside the pipeline's shard_map")
             self.tower_cfg = _dc.replace(
                 self.tower_cfg,
                 video=_dc.replace(self.tower_cfg.video,
@@ -102,6 +107,13 @@ class Trainer:
                     f"data_loader '{l.dataset_name}' batch_size={l.batch_size} is not "
                     f"divisible by the mesh data axis ({data_axis} devices); "
                     f"use a multiple of {data_axis}")
+            if t.pipeline and t.model_parallel > 1:
+                m = t.pipeline_microbatches
+                if l.batch_size % m != 0 or (l.batch_size // m) % data_axis != 0:
+                    raise ValueError(
+                        f"pipeline mode: data_loader '{l.dataset_name}' "
+                        f"batch_size={l.batch_size} must be a multiple of "
+                        f"pipeline_microbatches ({m}) x data axis ({data_axis})")
 
         # steps/epoch for the LR schedule (epoch-milestone step decay)
         cycle_batches = sum(l.batch_size for l in train_loaders) or 1

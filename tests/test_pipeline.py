@@ -108,10 +108,16 @@ def test_trainer_pipeline_mode_e2e(tmp_path):
     })
     tok = WordPieceTokenizer.build_from_corpus(
         [f"scene {i} dog" for i in range(40)], vocab_size=256)
-    tr = Trainer(exp, build_loaders(exp, tok), [], save_dir=None, log_dir=None)
+    val = build_loaders(exp, tok, split="val")
+    tr = Trainer(exp, build_loaders(exp, tok), val,
+                 save_dir=None, log_dir=None)
     assert tr.tower_cfg.video.pipeline_stages == 2
     # blocks placed stage-sharded over the model axis
     spec = tr.state.params["video"]["blocks"]["mlp"]["fc1"]["kernel"].sharding.spec
     assert tuple(spec)[0] == "model", spec
     hist = tr.train()
     assert np.isfinite(hist[1]["loss_0"])
+    # the padded eval path runs the SEQUENTIAL block apply over the
+    # stage-sharded params (pipeline_stages=1 eval cfg); retrieval metrics
+    # must come out structurally valid
+    assert any(k.startswith("val_0_") for k in hist[1]), hist[1].keys()
