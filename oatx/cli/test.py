@@ -74,8 +74,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if getattr(exp.args, "all_captions", False):
         qpv = ds.expand_eval_captions()
         logger.info("full-cut protocol: %d caption slots per video", qpv)
+    tag_lens = None
+    if exp.cfg.arch.variant == "global_local":
+        # same wiring as factory.build_loaders: without the per-class token
+        # lengths the collator cannot emit object_token_masks and the jitted
+        # global_local forward KeyErrors
+        from oatx.data.loader import build_tag_token_lens
+
+        names = ds.object_vocab[1:] if ds.object_vocab else [
+            f"obj{i}" for i in range(1600)]
+        tag_lens = build_tag_token_lens(tokenizer, names)
     loader = ShardedLoader(
-        ds, batch_size=dl.batch_size, collate=Collator(tokenizer),
+        ds, batch_size=dl.batch_size,
+        collate=Collator(tokenizer, tag_token_lens=tag_lens),
         shuffle=False, drop_last=False, num_workers=dl.num_workers)
 
     result = evaluate(params, tower_cfg, loader, exp.cfg.metrics, mesh)

@@ -281,15 +281,50 @@ class LSMDC(TextVideoDataset):
 
 @DATASETS.register("LSMDC_choice")
 class LSMDCChoice(LSMDC):
-    """LSMDC multiple-choice eval variant: each record carries 5 candidate
-    captions; answer index stored in meta (reference LSMDC_choice_dataset.py)."""
+    """LSMDC multiple-choice eval variant.
+
+    UPSTREAM VERDICT: the reference's LSMDC_choice_dataset.py is a verbatim
+    copy of the plain LSMDC dataset — it never loads candidate captions, so
+    the multiple-choice task cannot actually run there. oatx's working design:
+    candidates come from `structured-symlinks/multiple_choice_{split}.tsv`
+    (tab-separated: videoid, answer index, candidate captions — the public
+    LSMDC-MC annotation reshaped one-line-per-clip); records without an
+    annotation fall back to the clip's own captions, which is only meaningful
+    with >= 2 captions (a one-time warning fires otherwise: argmax over one
+    candidate would report a vacuous 100% accuracy)."""
 
     is_multiple_choice = True
+
+    def _load_metadata(self):
+        super()._load_metadata()
+        import csv
+
+        mc_path = os.path.join(self.metadata_dir, "structured-symlinks",
+                               f"multiple_choice_{self.split}.tsv")
+        table = {}
+        if os.path.exists(mc_path):
+            with open(mc_path) as f:
+                for row in csv.reader(f, delimiter="\t"):
+                    if len(row) >= 3:
+                        table[row[0]] = (int(row[1]), row[2:])
+        self._mc_warned = False
+        for rec in self.metadata:
+            if rec["videoid"] in table:
+                rec["answer"], rec["choices"] = table[rec["videoid"]]
 
     def get_sample(self, index, rng=None, _depth=0):
         s = super().get_sample(index, rng, _depth)
         rec = self.metadata[index % len(self.metadata)]
-        s["meta"]["choices"] = rec.get("choices", rec["captions"][:5])
+        choices = rec.get("choices", rec["captions"][:5])
+        if len(choices) < 2 and not self._mc_warned:
+            import logging
+
+            logging.getLogger("oatx.data").warning(
+                "LSMDC_choice: no multiple_choice_%s.tsv and clips carry a "
+                "single caption — accuracy over 1 candidate is vacuous",
+                self.split)
+            self._mc_warned = True
+        s["meta"]["choices"] = choices
         s["meta"]["answer"] = rec.get("answer", 0)
         return s
 
@@ -308,7 +343,6 @@ class SyntheticVideoText(TextVideoDataset):
         self.metadata = []
         from oatx.data import video_reader as vr
 
-        rng = random.Random(1234)
         for i in range(n):
             vid = f"clip{i:04d}"
             path = os.path.join(self.data_dir, vid + ".avi")

@@ -114,6 +114,11 @@ def extract_video(
         return 0, num_extraction_frames
     vlen, _, w, h = vr.probe(video_path)
     grid = sample_frames(num_extraction_frames, max(vlen, 1), sample="uniform")
+    if len(grid) < num_extraction_frames:
+        # clips shorter than the grid repeat their last frame (same semantics
+        # as the loader's short-video pad) — without this, slots beyond vlen
+        # IndexError and the resumable pipeline retries the clip forever
+        grid = grid + [grid[-1]] * (num_extraction_frames - len(grid))
     frames = vr.decode_indices(video_path, [grid[s] for s in todo], short_side=0)
     for frame, slot in zip(frames, todo):
         feats, boxes, ids, confs = detector(frame)

@@ -122,9 +122,11 @@ def read_object_features(
 ) -> np.ndarray:
     """Top-k ROI features + box geometry → (top_k, 2054) float32.
 
-    unique_classes=False ≙ reference v=1, True ≙ v=2 (dedupe by class id; note the
-    reference dedupes with np.unique, i.e. keeps the first occurrence in the
-    *confidence-sorted* order and re-sorts ascending by class id — reproduced here).
+    unique_classes=False ≙ reference v=1, True ≙ v=2. QUIRK reproduced exactly
+    (base_dataset.py:618-623): np.unique runs on object_ids in their ORIGINAL
+    file order, but the returned indices are applied to the confidence-SORTED
+    boxes/features — the selected rows are whatever sits at those positions
+    after the re-sort, not per-class representatives. Faithful, not sane.
     Missing/corrupt file → all-ones tensor (reference base_dataset.py:606-610).
     """
     loaded = _load_npz(object_path)

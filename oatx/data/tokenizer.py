@@ -114,10 +114,12 @@ class WordPieceTokenizer:
         vocab_list = [PAD, UNK, CLS, SEP, MASK]
         vocab_list += sorted(chars)
         vocab_list += [f"##{c}" for c in sorted(chars)]
+        seen = set(vocab_list)
         for w, _ in counter.most_common():
             if len(vocab_list) >= vocab_size:
                 break
-            if w not in vocab_list:
+            if w not in seen:
+                seen.add(w)
                 vocab_list.append(w)
         vocab = {w: i for i, w in enumerate(vocab_list)}
         return cls(vocab, lower=lower)

@@ -21,9 +21,15 @@ import numpy as np
 @dataclass
 class LatencyStats:
     samples_ms: List[float] = field(default_factory=list)
+    max_samples: int = 100_000  # ring buffer: a long-running service must not
+    _next: int = 0              # grow (or re-percentile) without bound
 
     def add(self, ms: float) -> None:
-        self.samples_ms.append(ms)
+        if len(self.samples_ms) < self.max_samples:
+            self.samples_ms.append(ms)
+        else:
+            self.samples_ms[self._next] = ms
+            self._next = (self._next + 1) % self.max_samples
 
     def percentile(self, p: float) -> float:
         if not self.samples_ms:
@@ -87,8 +93,15 @@ class EmbedService:
             _ = np.asarray(self._text_fn(self.params, ids, np.ones_like(ids)))
 
     def embed_video(self, video_u8: np.ndarray) -> np.ndarray:
-        """(B, F, canon, canon, 3) uint8 → (B, D) float32; records latency."""
+        """(B, F, canon, canon, 3) uint8 → (B, D) float32; records latency.
+        Oversize batches are processed in largest-bucket chunks, so only
+        len(buckets) XLA graphs ever compile."""
         n = video_u8.shape[0]
+        if n > self.buckets[-1]:
+            step = self.buckets[-1]
+            return np.concatenate([
+                self.embed_video(video_u8[i: i + step])
+                for i in range(0, n, step)])
         b = self._bucket(n)
         if n < b:
             pad = np.repeat(video_u8[-1:], b - n, axis=0)
@@ -155,8 +168,11 @@ class MicroBatcher:
                     items.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            clips = np.stack([v for v, _ in items])
             try:
+                # np.stack INSIDE the try: mismatched clip shapes must fail
+                # the waiting requests, not kill the batcher thread (which
+                # would deadlock every future submit)
+                clips = np.stack([v for v, _ in items])
                 embeds = self.service.embed_video(clips)
                 for (_, done), e in zip(items, embeds):
                     done.put(e)

@@ -84,3 +84,27 @@ def test_stub_detector_deterministic(clips):
     b = d(frames[0])
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_extract_video_shorter_than_grid(tmp_path):
+    """Clips with fewer frames than the extraction grid repeat their last
+    frame instead of IndexError-ing (which made the resumable pipeline retry
+    them forever)."""
+    from oatx.data import video_reader as vr
+    from oatx.data.extraction import extract_video
+
+    p = tmp_path / "short.avi"
+    vr.write_test_video(str(p), 64, 48, 5, 8)  # 5 frames < 8-slot grid
+    out = tmp_path / "out"
+    out.mkdir()
+
+    def fake_detector(frame):
+        k = 3
+        return (np.ones((k, 2048), np.float32),
+                np.tile(np.array([1, 1, 30, 30], np.float32), (k, 1)),
+                np.arange(k), np.linspace(0.9, 0.5, k).astype(np.float32))
+
+    written, skipped = extract_video(str(p), str(out), fake_detector,
+                                     num_extraction_frames=8)
+    assert written == 8
+    assert sorted(f.name for f in out.iterdir()) == [f"{i}.npz" for i in range(8)]

@@ -207,3 +207,27 @@ def test_eval_cli_over_msrvtt_fixture(msrvtt_root, tmp_path):
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     metrics = json.loads(line)
     assert "t2v_metrics" in metrics and "R1" in metrics["t2v_metrics"]
+
+
+def test_lsmdc_choice_loads_mc_annotations(lsmdc_root):
+    """multiple_choice_{split}.tsv (videoid \t answer \t candidates...) is the
+    working replacement for the reference's bit-rotten choice dataset."""
+    sdir = lsmdc_root / "structured-symlinks"
+    stems = ["1001_Movie_00004", "1001_Movie_00005"]
+    rows = [f"{s}\t{i + 1}\twrong one\tsomeone walks in scene\tanother wrong"
+            for i, s in enumerate(stems)]
+    (sdir / "multiple_choice_test.tsv").write_text("\n".join(rows) + "\n")
+    try:
+        cfg = DataLoaderCfg(
+            type="TextVideoDataLoader", dataset_name="LSMDC_choice",
+            data_dir=str(lsmdc_root), split="test", batch_size=2, num_workers=1,
+            video_params={"input_res": 32, "num_frames": 2, "loading": "strict"})
+        ds = build_dataset(cfg, variant="baseline")
+        s0 = ds.get_sample(0, np.random.default_rng(0))
+        assert s0["meta"]["choices"] == ["wrong one", "someone walks in scene",
+                                         "another wrong"]
+        assert s0["meta"]["answer"] == 1
+        s1 = ds.get_sample(1, np.random.default_rng(0))
+        assert s1["meta"]["answer"] == 2
+    finally:
+        os.remove(sdir / "multiple_choice_test.tsv")

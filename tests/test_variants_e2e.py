@@ -114,3 +114,25 @@ def test_region_mem_trains_and_exports_maps(tmp_path):
     out = export_region_maps(tr.state.params, tr.tower_cfg, loader,
                              str(tmp_path / "maps"), limit=3)
     assert len(out) == 3 and all(os.path.exists(p) for p in out)
+
+
+def test_eval_cli_global_local(tmp_path):
+    """The test CLI over a global_local config must emit object_token_masks
+    (tag-token-length wiring — a bare Collator crashed the jitted forward)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    cfg = _cfg(tmp_path, "global_local")
+    cfg["metrics"] = ["t2v_metrics"]
+    p = tmp_path / "cfg.json"
+    p.write_text(_json.dumps(cfg))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "oatx.cli.test", "-c", str(p), "--split", "train"],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1800)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    metrics = _json.loads(line)
+    assert "t2v_metrics" in metrics

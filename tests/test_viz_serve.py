@@ -154,3 +154,45 @@ def test_micro_batcher(tiny_service, rng):
     for i in range(4):
         np.testing.assert_allclose(results[i], direct[i], atol=1e-5)
     mb.close()
+
+
+def test_embed_service_oversize_batch_chunks(tiny_service, rng):
+    """Batches beyond the largest bucket process in largest-bucket chunks, so
+    only len(buckets) XLA graphs ever compile (no fresh compile per size)."""
+    svc = tiny_service
+    v = rng.integers(0, 255, (11, 2, 64, 64, 3)).astype(np.uint8)  # > bucket 4
+    out = svc.embed_video(v)
+    assert out.shape == (11, 8)
+    direct = np.concatenate([svc.embed_video(v[i: i + 4]) for i in range(0, 11, 4)])
+    np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+def test_micro_batcher_survives_bad_request(tiny_service, rng):
+    """A shape-mismatched submission fails ITS caller but must not kill the
+    batcher thread (which would deadlock every later submit)."""
+    import threading
+
+    from oatx.serve.embed_service import MicroBatcher
+
+    mb = MicroBatcher(tiny_service, max_batch=2, max_wait_ms=10)
+    good = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)  # (F,H,W,C)
+    bad = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)   # wrong res
+    res = {}
+
+    def call(key, clip):
+        try:
+            res[key] = mb.submit(clip)
+        except Exception as ex:  # submit re-raises per-request failures
+            res[key] = ex
+
+    t1 = threading.Thread(target=call, args=("good", good))
+    t2 = threading.Thread(target=call, args=("bad", bad))
+    t1.start(); t2.start()
+    t1.join(timeout=30); t2.join(timeout=30)
+    # every caller got an answer (value or error) — nobody hung
+    assert "good" in res and "bad" in res
+    assert any(isinstance(v, Exception) for v in res.values())
+    # the batcher thread is still alive: a fresh clean request completes
+    again = mb.submit(good)
+    assert hasattr(again, "shape") and again.shape == (8,)
+    mb.close()
