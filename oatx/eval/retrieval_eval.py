@@ -116,10 +116,17 @@ def evaluate(
 
     sims = np.asarray(C.sim_matrix(jnp.array(text_e), jnp.array(vid_e)))
     results: Dict[str, Dict[str, float]] = {}
+    from oatx.metrics.retrieval import REQUIRES_QUERY_MASKS
+
     for name in metric_names:
         fn = METRICS.get(name)
         if query_masks is not None:
             results[name] = fn(sims, query_masks)
+        elif name in REQUIRES_QUERY_MASKS:
+            import logging
+
+            logging.getLogger("oatx.eval").warning(
+                "metric %s needs query_masks (label matrix) — skipped", name)
         else:
             results[name] = fn(sims)
 
@@ -134,7 +141,8 @@ def evaluate(
         }.items():
             s = np.asarray(C.sim_matrix(jnp.array(a), jnp.array(b)))
             object_streams[stream] = {
-                name: METRICS.get(name)(s) for name in metric_names}
+                name: METRICS.get(name)(s) for name in metric_names
+                if name not in REQUIRES_QUERY_MASKS}
     return EvalResult(text_e, vid_e, sims, results, metas,
                       object_streams=object_streams, object_embeds=obj_e)
 
@@ -220,10 +228,13 @@ def evaluate_streams(
         "st2ov": (embeds["text_embeds"], embeds["object_img_embeds"]),
         "lt2ov": (embeds["pad_text_embeds"], embeds["object_img_embeds"]),
     }
+    from oatx.metrics.retrieval import REQUIRES_QUERY_MASKS
+
     results: Dict[str, Dict[str, Dict[str, float]]] = {}
     for stream, (a, b) in streams.items():
         sims = np.asarray(C.sim_matrix(jnp.array(a), jnp.array(b)))
-        results[stream] = {name: METRICS.get(name)(sims) for name in metric_names}
+        results[stream] = {name: METRICS.get(name)(sims) for name in metric_names
+                           if name not in REQUIRES_QUERY_MASKS}
     return results
 
 

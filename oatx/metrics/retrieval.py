@@ -121,7 +121,13 @@ def retrieval_as_classification(
     sims: np.ndarray, query_masks: Optional[np.ndarray] = None
 ) -> Dict[str, float]:
     """Classification-style metrics: rank every GT label of each video query,
-    subtracting out better-ranked GT labels (reference metric.py:215-278)."""
+    subtracting out better-ranked GT labels (reference metric.py:215-278).
+    REQUIRES query_masks (the multi-hot label matrix) — there is no sensible
+    default."""
+    if query_masks is None:
+        raise ValueError(
+            "retrieval_as_classification requires query_masks (multi-hot "
+            "labels per video); it cannot run on a plain retrieval sims matrix")
     sims = np.asarray(sims).T
     query_masks = np.asarray(query_masks).T
     dists = -sims
@@ -146,8 +152,12 @@ def mean_average_precision(
     """mAP over video queries (sims.T rows scored against multi-hot query_masks.T).
 
     The reference references an undefined APMeter (metric.py:294-297, broken);
-    implemented here with sklearn's average_precision_score.
+    implemented here with sklearn's average_precision_score. REQUIRES
+    query_masks (multi-hot relevance labels).
     """
+    if query_masks is None:
+        raise ValueError("mean_average_precision requires query_masks "
+                         "(multi-hot relevance labels per video)")
     from sklearn.metrics import average_precision_score
 
     scores = np.asarray(sims).T
@@ -158,6 +168,11 @@ def mean_average_precision(
         if targets[i].sum() > 0
     ]
     return {"mAP": float(np.mean(aps))}
+
+
+# metrics that cannot run without a query_masks label matrix — callers with
+# only a sims matrix should skip these with a warning rather than crash
+REQUIRES_QUERY_MASKS = ("retrieval_as_classification", "mean_average_precision")
 
 
 def acc(output: np.ndarray, target: np.ndarray) -> float:

@@ -76,5 +76,8 @@ def exclude_subtrees(base_filter, roots: Tuple[str, ...]):
 
 
 def linear_probe_filter(path: Tuple[str, ...]) -> bool:
-    """Train only the projection heads (reference forzen_param semantics)."""
-    return len(path) > 0 and ("proj" in path[0])
+    """Train only the contrastive projection heads. Reference forzen_param
+    unfreezes names CONTAINING 'txt_proj' or 'vid_proj' (utils/param_forzen.py)
+    — i.e. txt_proj / txt_proj_2 / vid_proj, but NOT the local or object
+    heads (txt_local_proj / vid_local_proj / obj_proj stay frozen)."""
+    return len(path) > 0 and ("txt_proj" in path[0] or "vid_proj" in path[0])

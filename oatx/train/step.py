@@ -181,15 +181,15 @@ def make_train_step(
 
             def body(carry, mb):
                 (l, m), g = grads_of(state.params, mb)
-                acc, lacc = carry
-                acc = jax.tree_util.tree_map(jnp.add, acc, g)
-                return (acc, lacc + l), None
+                acc = jax.tree_util.tree_map(jnp.add, carry, g)
+                return acc, m  # per-micro metrics stack as scan outputs
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (gsum, lsum), _ = jax.lax.scan(body, (zero, jnp.float32(0)), micro)
+            gsum, m_stack = jax.lax.scan(body, zero, micro)
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, gsum)
-            loss = lsum / accum_steps
-            metrics = {"loss": loss}
+            # keep every aux loss term (loss_fine/loss_region/loss_object...)
+            metrics = {k: jnp.mean(v) for k, v in m_stack.items()}
+            loss = metrics["loss"]
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)

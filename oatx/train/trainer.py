@@ -226,7 +226,12 @@ class Trainer:
             else:
                 self.start_epoch = meta["epoch"] + 1
                 self.logger.info("resumed from %s at epoch %d", resume, meta["epoch"])
-            self.monitor_best = meta["monitor_best"]
+            if meta.get("has_meta", True) and "monitor_best" in meta:
+                mb = meta["monitor_best"]
+                # a lost .meta.json defaults to +inf, which silently disables
+                # max-mode monitoring — keep the mode-aware init instead
+                if not (self.monitor_mode == "max" and mb == float("inf")):
+                    self.monitor_best = mb
 
         self.augment = steplib.make_augmenter(train=True, tower_cfg=self.tower_cfg)
         self.train_step = steplib.make_train_step(
@@ -410,6 +415,7 @@ class Trainer:
                 out = self.eval_step(self.state.params, batch)
                 texts.append(np.asarray(out["text_embeds"])[:n_valid])
                 vids.append(np.asarray(out["video_embeds"])[:n_valid])
+                self.watchdog.beat()  # long validations are not hangs
             if not texts:
                 continue
             text_e = np.concatenate(texts)
@@ -419,14 +425,28 @@ class Trainer:
             log[f"val_loss_{vi}"] = val_loss
             if vi == 0:
                 log["val_loss"] = val_loss
+            from oatx.metrics.retrieval import REQUIRES_QUERY_MASKS
+
+            self.writer.set_step(epoch, mode="valid")
             for metric_name in self.exp.metrics:
+                if metric_name in REQUIRES_QUERY_MASKS:
+                    self.logger.warning(
+                        "metric %s needs query_masks (label matrix) — "
+                        "skipped during validation", metric_name)
+                    continue
                 fn = METRICS.get(metric_name)
                 res = fn(sims)
                 short = {"t2v_metrics": "t2v", "v2t_metrics": "v2t"}.get(metric_name, metric_name)
-                self.logger.info(verbose(epoch, res, loader.dataset_name, short))
+                if "R1" in res:
+                    self.logger.info(verbose(epoch, res, loader.dataset_name, short))
+                else:
+                    self.logger.info("[%s] epoch %d, %s: %s", short, epoch,
+                                     loader.dataset_name,
+                                     {k: round(float(v), 3) for k, v in res.items()})
                 for k, v in res.items():
                     log[f"val_{vi}_{short}_{k}"] = float(v)
                     self.writer.add_scalar(f"val_{vi}_{short}_{k}", float(v), epoch)
+            self.writer.set_step(epoch, mode="train")
         return log
 
     # ------------------------------------------------------------------ save

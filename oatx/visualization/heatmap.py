@@ -102,7 +102,13 @@ def render_heatmap_frame(
         grid_size = (g, g)
     cam = _normalize01(bilinear_upsample(attn.reshape(grid_size), h, w))
     heat = jet_colormap(cam)
-    frame = (_normalize01(frame_rgb) * 255).astype(np.uint8)
+    # show the ACTUAL frame (uint8 passthrough / clip), not a per-frame
+    # min-max stretch — a near-uniform frame would otherwise render black and
+    # the 50/50 heat blend would no longer overlay the real input
+    f = np.asarray(frame_rgb)
+    if f.dtype != np.uint8:
+        f = (np.clip(f, 0.0, 1.0) * 255) if f.max() <= 1.0 + 1e-6 else np.clip(f, 0, 255)
+    frame = f.astype(np.uint8)
     blend = (heat // 2 + frame // 2).astype(np.uint8)
 
     if label:

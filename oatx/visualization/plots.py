@@ -64,7 +64,10 @@ def tsne_embedding_plot(
     from sklearn.manifold import TSNE
 
     n = len(embeddings)
-    xy = TSNE(n_components=2, perplexity=min(perplexity, max(2, n // 3)),
+    if n < 2:
+        raise ValueError(f"t-SNE needs at least 2 samples, got {n}")
+    xy = TSNE(n_components=2,
+              perplexity=min(perplexity, max(1, n // 3), n - 1),
               init="pca", random_state=0).fit_transform(np.asarray(embeddings))
     fig, ax = plt.subplots(figsize=(6, 6))
     if labels is not None:

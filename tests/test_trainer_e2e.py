@@ -174,3 +174,28 @@ def test_len_epoch_iteration_based(tmp_path):
     assert trainer.cycles_per_epoch == 5
     trainer.train()
     assert int(trainer.state.step) == 5  # 5 cycles x 1 loader, loader wrapped past 2
+
+
+def test_validation_skips_mask_requiring_metrics(tmp_path):
+    """Configured metrics that need a label matrix (mAP,
+    retrieval_as_classification) are warned-and-skipped during validation
+    instead of crashing the first epoch (they have no sims-only form)."""
+    from oatx.config.schema import ExperimentCfg
+    from oatx.data.factory import build_loaders
+    from oatx.data.tokenizer import WordPieceTokenizer
+    from oatx.train.trainer import Trainer
+
+    cfg = _smoke_config(
+        tmp_path,
+        metrics=["t2v_metrics", "mean_average_precision",
+                 "retrieval_as_classification"])
+    cfg["trainer"]["epochs"] = 1
+    exp = ExperimentCfg.from_dict(cfg)
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"a dog runs in scene {i}" for i in range(20)], vocab_size=256)
+    val = build_loaders(exp, tok, split="val")
+    tr = Trainer(exp, build_loaders(exp, tok), val, save_dir=None, log_dir=None)
+    hist = tr.train()
+    log = hist[1]
+    assert any(k.startswith("val_0_t2v_") for k in log)
+    assert not any("mAP" in k or "mean_average" in k for k in log)
