@@ -11,7 +11,7 @@ from oatx.data.tokenizer import WordPieceTokenizer, load_tokenizer
 
 def resolve_tokenizer(
     exp: ExperimentCfg,
-    corpus: Optional[List[str]] = None,
+    corpus=None,  # List[str] or a lazy () -> List[str]
     search_dirs: Optional[List[str]] = None,
 ) -> WordPieceTokenizer:
     """Tokenizer resolution order:
@@ -32,7 +32,27 @@ def resolve_tokenizer(
     model_dir = exp.arch.text_params.model
     if os.path.isdir(model_dir) and os.path.exists(os.path.join(model_dir, "vocab.txt")):
         return load_tokenizer(model_dir)
+    # an HF model NAME (e.g. distilbert-base-uncased) with a locally cached
+    # tokenizer: pretrained checkpoints were trained with that exact vocab —
+    # a corpus-built vocab would make their text embeddings silently garbage.
+    # Only when the config uses the full vocab (hermetic tiny-vocab configs
+    # must keep their corpus-built vocab even if an HF cache exists).
+    if exp.arch.text_params.vocab_size in (None, 30522):
+        try:
+            return load_tokenizer(model_dir)
+        except Exception:
+            pass
+    if callable(corpus):  # lazy: only materialize captions when really needed
+        corpus = corpus()
     if corpus:
+        if exp.arch.load_checkpoint or exp.arch.text_params.pretrained:
+            import logging
+
+            logging.getLogger("oatx").warning(
+                "building the tokenizer vocab from the training captions while "
+                "arch uses pretrained/imported text weights — token ids will "
+                "NOT match the checkpoint's vocab; ship the original vocab.txt "
+                "(tokenizer.vocab) for meaningful text embeddings")
         return WordPieceTokenizer.build_from_corpus(corpus, vocab_size=int(tok_cfg.get("vocab_size", 30522)))
     raise FileNotFoundError(
         "no tokenizer vocab: set config key tokenizer.vocab or make "
@@ -48,7 +68,13 @@ def dataset_captions(exp: ExperimentCfg, split: str = "train", limit: int = 200_
     for dl in exp.data_loaders:
         try:
             ds = build_dataset(dl, "baseline", split)
-        except Exception:
+        except Exception as e:
+            import logging
+
+            logging.getLogger("oatx").warning(
+                "dataset_captions: could not build %s (%s) — corpus may be "
+                "partial; a later 'no tokenizer vocab' error originates HERE",
+                dl.dataset_name, e)
             continue
         import numpy as np
 

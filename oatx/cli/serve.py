@@ -60,7 +60,7 @@ def build_service(argv):
     import pathlib
 
     search = [pathlib.Path(ckpt).parent] if ckpt else []
-    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg) or ["a video"],
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=lambda: dataset_captions(exp.cfg) or ["a video"],
                                   search_dirs=search)
     buckets = tuple(int(b) for b in our.buckets.split(","))
     svc = EmbedService(params, tower_cfg, buckets=buckets)
@@ -101,8 +101,20 @@ class _Handler(BaseHTTPRequestHandler):
                 texts = req.get("texts")
                 if not texts or not isinstance(texts, list):
                     return self._json(400, {"error": "'texts' must be a non-empty list"})
-                tok = self.tokenizer(texts, max_length=int(req.get("max_length", 30)))
-                emb = self.service.embed_text(tok["input_ids"], tok["attention_mask"])
+                # clamp to the warmed sequence length: client-chosen lengths
+                # would each compile a fresh XLA graph (30-60 s stall per
+                # distinct shape — trivial DoS on the single-chip server)
+                max_len = min(int(req.get("max_length", self.service.seq_len)),
+                              self.service.seq_len)
+                tok = self.tokenizer(texts, max_length=max_len)
+                ids, mask = tok["input_ids"], tok["attention_mask"]
+                if ids.shape[1] < self.service.seq_len:
+                    import numpy as _np
+
+                    pad = self.service.seq_len - ids.shape[1]
+                    ids = _np.pad(ids, ((0, 0), (0, pad)))
+                    mask = _np.pad(mask, ((0, 0), (0, pad)))
+                emb = self.service.embed_text(ids, mask)
                 return self._json(200, {"embeddings": emb.tolist()})
             if self.path == "/embed_video":
                 b64 = req.get("video_b64")

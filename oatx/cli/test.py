@@ -57,13 +57,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     params = shardlib.shard_params(mesh, params)
 
     search = []
-    if exp.resume:
-        search.append(exp.resume.parent)
-    if ckpt:
+    if ckpt:  # exp.resume and ckpt resolve to the same dir when -r is given
         import pathlib
 
         search.append(pathlib.Path(ckpt).parent)
-    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg, split),
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=lambda: dataset_captions(exp.cfg, split),
                                   search_dirs=search)
     dl = exp.cfg.data_loaders[0]
     ds = build_dataset(dl, exp.cfg.arch.variant, split,
@@ -76,14 +74,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         logger.info("full-cut protocol: %d caption slots per video", qpv)
     tag_lens = None
     if exp.cfg.arch.variant == "global_local":
-        # same wiring as factory.build_loaders: without the per-class token
-        # lengths the collator cannot emit object_token_masks and the jitted
-        # global_local forward KeyErrors
-        from oatx.data.loader import build_tag_token_lens
+        # without the per-class token lengths the collator cannot emit
+        # object_token_masks and the jitted global_local forward KeyErrors
+        from oatx.data.factory import tag_token_lens_for
 
-        names = ds.object_vocab[1:] if ds.object_vocab else [
-            f"obj{i}" for i in range(1600)]
-        tag_lens = build_tag_token_lens(tokenizer, names)
+        tag_lens = tag_token_lens_for(ds, tokenizer)
     loader = ShardedLoader(
         ds, batch_size=dl.batch_size,
         collate=Collator(tokenizer, tag_token_lens=tag_lens),
@@ -92,7 +87,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     result = evaluate(params, tower_cfg, loader, exp.cfg.metrics, mesh)
     for name, m in result.metrics.items():
         short = {"t2v_metrics": "t2v", "v2t_metrics": "v2t"}.get(name, name)
-        logger.info(verbose(0, m, ds.dataset_name, short))
+        if "R1" in m:
+            logger.info(verbose(0, m, ds.dataset_name, short))
+        else:  # e.g. mAP — no R@K keys for the verbose line
+            logger.info("[%s] %s: %s", short, ds.dataset_name,
+                        {k: round(float(v), 3) for k, v in m.items()})
     for stream, ms in result.object_streams.items():
         # stream-3 object streams (reference test.py:287-291 o2v/o2t)
         for name, m in ms.items():

@@ -39,7 +39,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     logger.info("devices: %s", jax.devices())
 
     search = [exp.resume.parent] if exp.resume else []
-    tokenizer = resolve_tokenizer(exp.cfg, corpus=dataset_captions(exp.cfg),
+    tokenizer = resolve_tokenizer(exp.cfg, corpus=lambda: dataset_captions(exp.cfg),
                                   search_dirs=search)
     if jax.process_index() == 0:
         # persist the exact vocab with the checkpoints: eval/finetune runs must
@@ -59,8 +59,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     from oatx.utils.tracking import ExperimentTracker
 
+    track = bool(getattr(exp.args, "observe", False)) or \
+        bool(exp.cfg.raw.get("trainer", {}).get("neptune", False))
     with ExperimentTracker(exp.log_dir, exp.cfg.name, config=exp.cfg.raw,
-                           enabled=jax.process_index() == 0) as tracker:
+                           enabled=track and jax.process_index() == 0) as tracker:
         trainer = Trainer(
             exp.cfg, train_loaders, valid_loaders,
             save_dir=exp.save_dir, log_dir=exp.log_dir,

@@ -53,7 +53,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     else:
         logger.warning("no checkpoint — visualizing RANDOM weights")
     tokenizer = resolve_tokenizer(
-        exp.cfg, corpus=(dataset_captions(exp.cfg) or [our.caption]) + [our.caption])
+        exp.cfg, corpus=lambda: (dataset_captions(exp.cfg) or [our.caption]) + [our.caption])
 
     # decode + canonicalize the frame
     vlen, _, _, _ = vr.probe(our.video)
@@ -79,10 +79,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         word_embeds.append(np.asarray(emb[0], np.float32))
 
     # project patches into the shared space for comparable dot products
-    from oatx.ops.layers import linear
+    # (towers._vid_proj also handles the projection='' identity config)
+    from oatx.models import towers as _towers
 
     patch_proj = np.asarray(
-        linear(params["vid_proj"], jnp.asarray(patch_embeds)), np.float32)
+        _towers._vid_proj(params, tower_cfg, jnp.asarray(patch_embeds)),
+        np.float32)
 
     disp = np.asarray(jax.image.resize(
         jnp.asarray(frame_u8[0], jnp.float32), (224, 224, 3), "bilinear"), np.uint8)

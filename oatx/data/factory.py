@@ -88,6 +88,15 @@ def build_dataset(
     )
 
 
+def tag_token_lens_for(ds, tokenizer):
+    """Per-class tag token lengths for the global_local collator (the jitted
+    forward needs object_token_masks; this is the single source of the
+    vocab-fallback convention shared by training and the eval CLI)."""
+    names = ds.object_vocab[1:] if ds.object_vocab else [
+        f"obj{i}" for i in range(1600)]
+    return build_tag_token_lens(tokenizer, names)
+
+
 def build_loaders(
     exp: ExperimentCfg,
     tokenizer: WordPieceTokenizer,
@@ -103,8 +112,7 @@ def build_loaders(
     for dl in exp.data_loaders:
         ds = build_dataset(dl, exp.arch.variant, split, region_bank, seed=seed)
         if exp.arch.variant == "global_local" and tag_lens is None:
-            names = ds.object_vocab[1:] if ds.object_vocab else [f"obj{i}" for i in range(1600)]
-            tag_lens = build_tag_token_lens(tokenizer, names)
+            tag_lens = tag_token_lens_for(ds, tokenizer)
         collate = Collator(tokenizer, max_text_len=max_text_len,
                            tag_token_lens=tag_lens)
         loaders.append(ShardedLoader(

@@ -113,6 +113,11 @@ class EmbedService:
 
     def embed_text(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
         n = input_ids.shape[0]
+        if n > self.buckets[-1]:
+            step = self.buckets[-1]
+            return np.concatenate([
+                self.embed_text(input_ids[i: i + step], attention_mask[i: i + step])
+                for i in range(0, n, step)])
         b = self._bucket(n)
         if n < b:
             input_ids = np.concatenate(
