@@ -196,3 +196,57 @@ def test_micro_batcher_survives_bad_request(tiny_service, rng):
     again = mb.submit(good)
     assert hasattr(again, "shape") and again.shape == (8,)
     mb.close()
+
+
+def test_http_serve_endpoints(tiny_service, rng):
+    """Real HTTP round trips through cli.serve's handler: health, text with a
+    client max_length beyond the warmed length (clamped, no recompile), an
+    oversize text batch (chunked), video, and stats."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from oatx.cli.serve import _Handler
+    from oatx.data.tokenizer import WordPieceTokenizer
+
+    _Handler.service = tiny_service
+    _Handler.tokenizer = WordPieceTokenizer.build_from_corpus(
+        [f"a dog runs in scene {i}" for i in range(20)], vocab_size=64)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return json.loads(r.read())
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        # max_length=100 > warmed seq_len=8 must clamp, not recompile
+        out = post("/embed_text", {"texts": ["a dog runs"] * 6,
+                                   "max_length": 100})
+        assert np.asarray(out["embeddings"]).shape == (6, 8)
+
+        buf = io.BytesIO()
+        np.save(buf, rng.integers(0, 255, (2, 2, 64, 64, 3)).astype(np.uint8))
+        out = post("/embed_video",
+                   {"video_b64": base64.b64encode(buf.getvalue()).decode()})
+        assert np.asarray(out["embeddings"]).shape == (2, 8)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats["video"]["count"] >= 1
+    finally:
+        server.shutdown()
+        server.server_close()
