@@ -119,8 +119,7 @@ def test_lax_loading_recovers(synth_cfg, tokenizer, tmp_path):
         s = ds.get_sample(5, np.random.default_rng(0))
         assert s["video"].shape == (4, 256, 256, 3)  # substituted sample
     finally:
-        os.remove(victim)
-        ds.metadata and None
+        os.remove(victim)  # SyntheticVideoText regenerates it on next build
 
 
 def test_strict_loading_raises(synth_cfg):

@@ -125,3 +125,4 @@ def test_forward_jits(rng):
     t, v = f(params, batch)
     t2, v2 = towers.forward(params, cfg, batch)
     np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-5)

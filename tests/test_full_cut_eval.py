@@ -79,5 +79,6 @@ def test_full_cut_evaluate_applies_masks(msrvtt_full):
     assert res.sims.shape == (12, 4)
     m = res.metrics["t2v_metrics"]
     assert 0.0 <= m["R1"] <= 100.0
-    # R@50 must be 100 with only 4 videos and masked invalid query
-    assert m["R50"] == 100.0
+    # structural (CLAUDE.md: no exact metric values on synthetic runs): with
+    # only 4 videos every GT rank is < 4, so MedR is bounded by the corpus
+    assert 1.0 <= m["MedR"] <= 4.0

@@ -26,9 +26,6 @@ def test_multiple_choice_eval(tmp_path):
         rec["choices"].insert(i % 5, rec["caption"])
         rec["answer"] = i % 5
 
-    class ChoiceDs(type(ds)):
-        pass
-
     orig = ds.get_sample
 
     def with_choices(index, rng=None, _depth=0):

@@ -43,12 +43,8 @@ def test_object_tower_forward_and_padding_invariance(obj_cfg, rng):
     assert out.shape == (3, 32)
     assert np.all(np.isfinite(np.asarray(out)))
 
-    # padding rows must not influence the embedding: replace the padding of
-    # sample 0 with garbage → identical output for that row
-    poisoned = feats.copy()
-    poisoned[0, 3:] = 1e3
-    # ... but poisoned rows are nonzero, so they'd count as real objects; the
-    # invariance we CAN assert is that adding extra zero rows changes nothing:
+    # padding invariance: nonzero rows count as real objects by design, so
+    # the assertable invariance is that EXTRA ZERO rows change nothing:
     wider = np.zeros((3, 9, 70), np.float32)
     wider[:, :6] = feats
     out_w = jax.jit(lambda p, x: objt.apply(p, obj_cfg, x))(params, jnp.asarray(wider))

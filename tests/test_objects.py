@@ -45,8 +45,10 @@ def test_read_object_features_edge_pad(npz_path):
     path, feats, boxes, info = npz_path
     out = obj.read_object_features(path, top_k=12)
     assert out.shape == (12, 2054)
-    # padded rows repeat the last real row
-    np.testing.assert_allclose(out[7], out[11])
+    # padded rows repeat the LAST REAL row (row 6 of 7): compare against it,
+    # not padded-vs-padded (which any constant fill would also satisfy)
+    np.testing.assert_allclose(out[7], out[6])
+    np.testing.assert_allclose(out[11], out[6])
 
 
 def test_read_object_features_missing_file(tmp_path):
@@ -56,9 +58,19 @@ def test_read_object_features_missing_file(tmp_path):
 
 
 def test_unique_classes_dedupes(npz_path):
+    """unique_classes reproduces the reference QUIRK exactly: np.unique runs
+    on the ORIGINAL-order ids but its indices select from the conf-SORTED
+    rows (objects.py docstring; base_dataset.py:618-623)."""
     path, feats, boxes, info = npz_path
     out = obj.read_object_features(path, top_k=5, unique_classes=True)
     assert out.shape == (5, 2054)
+    # recompute the quirk by hand and check the feature rows match
+    order = np.argsort(info["objects_conf"])[::-1]
+    sorted_feats = feats[order]
+    _, uniq = np.unique(info["objects_id"], return_index=True)
+    expect = sorted_feats[uniq]
+    n = min(5, expect.shape[0])
+    np.testing.assert_allclose(out[:n, :2048], expect[:n], rtol=1e-6)
 
 
 def test_scaled_box_geometry_matches_reference_formula():

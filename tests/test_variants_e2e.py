@@ -54,12 +54,6 @@ def _cfg(tmp_path, variant, region_tap=1):
     }
 
 
-def _patch_region_tap(cfg_dict):
-    # tiny model: depth 2 < default tap layer 6
-    import oatx.config.schema as schema
-    return cfg_dict
-
-
 def _train(tmp_path, variant):
     from oatx.config.schema import ExperimentCfg, build_tower_config
     from oatx.data.factory import build_loaders

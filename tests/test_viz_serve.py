@@ -212,6 +212,7 @@ def test_http_serve_endpoints(tiny_service, rng):
     from oatx.cli.serve import _Handler
     from oatx.data.tokenizer import WordPieceTokenizer
 
+    prev = (_Handler.service, _Handler.tokenizer)
     _Handler.service = tiny_service
     _Handler.tokenizer = WordPieceTokenizer.build_from_corpus(
         [f"a dog runs in scene {i}" for i in range(20)], vocab_size=64)
@@ -250,3 +251,4 @@ def test_http_serve_endpoints(tiny_service, rng):
     finally:
         server.shutdown()
         server.server_close()
+        _Handler.service, _Handler.tokenizer = prev  # no cross-test leakage
