@@ -289,9 +289,10 @@ class LSMDCChoice(LSMDC):
     candidates come from `structured-symlinks/multiple_choice_{split}.tsv`
     (tab-separated: videoid, answer index, candidate captions — the public
     LSMDC-MC annotation reshaped one-line-per-clip); records without an
-    annotation fall back to the clip's own captions, which is only meaningful
-    with >= 2 captions (a one-time warning fires otherwise: argmax over one
-    candidate would report a vacuous 100% accuracy)."""
+    annotation fall back to candidate sets built from OTHER clips' captions
+    as distractors (deterministic per index) so the reported accuracy is
+    still a real discrimination task; a one-time warning fires whenever the
+    TSV is absent, since these are not the official LSMDC-MC candidates."""
 
     is_multiple_choice = True
 
@@ -302,7 +303,8 @@ class LSMDCChoice(LSMDC):
         mc_path = os.path.join(self.metadata_dir, "structured-symlinks",
                                f"multiple_choice_{self.split}.tsv")
         table = {}
-        if os.path.exists(mc_path):
+        self._mc_table_found = os.path.exists(mc_path)
+        if self._mc_table_found:
             with open(mc_path) as f:
                 for row in csv.reader(f, delimiter="\t"):
                     if len(row) >= 3:
@@ -314,18 +316,37 @@ class LSMDCChoice(LSMDC):
 
     def get_sample(self, index, rng=None, _depth=0):
         s = super().get_sample(index, rng, _depth)
-        rec = self.metadata[index % len(self.metadata)]
-        choices = rec.get("choices", rec["captions"][:5])
-        if len(choices) < 2 and not self._mc_warned:
-            import logging
+        i = index % len(self.metadata)
+        rec = self.metadata[i]
+        if "choices" in rec:
+            choices, answer = rec["choices"], rec["answer"]
+        else:
+            if not self._mc_warned:
+                import logging
 
-            logging.getLogger("oatx.data").warning(
-                "LSMDC_choice: no multiple_choice_%s.tsv and clips carry a "
-                "single caption — accuracy over 1 candidate is vacuous",
-                self.split)
-            self._mc_warned = True
+                logging.getLogger("oatx.data").warning(
+                    "LSMDC_choice: no multiple_choice_%s.tsv — building "
+                    "fallback candidate sets from other clips' captions "
+                    "(deterministic); accuracy is NOT the official LSMDC-MC "
+                    "number", self.split)
+                self._mc_warned = True
+            # 4 distractors from other clips, deterministic in index (prime
+            # stride keeps nearby clips from sharing candidate sets); the true
+            # caption lands at a per-index position so answer isn't constant
+            n = len(self.metadata)
+            distract = []
+            k = 1
+            while len(distract) < 4 and k < max(n, 5):
+                j = (i + 17 * k) % n
+                if j != i:
+                    cap = self.metadata[j]["captions"][0]
+                    if cap != s["text"] and cap not in distract:
+                        distract.append(cap)
+                k += 1
+            answer = i % (len(distract) + 1)
+            choices = distract[:answer] + [s["text"]] + distract[answer:]
         s["meta"]["choices"] = choices
-        s["meta"]["answer"] = rec.get("answer", 0)
+        s["meta"]["answer"] = answer
         return s
 
 

@@ -313,3 +313,51 @@ def export_torch_checkpoint(path: str, params: Params,
                                for k, v in sd.items()},
                 "epoch": epoch}, path)
     return path
+
+
+# ------------------------------------------------------------- CLIP text
+
+def clip_text_from_torch(sd: Dict[str, np.ndarray]):
+    """OpenAI/vendored-CLIP state_dict → (params, ClipTextConfig) for
+    oatx.models.clip_text. Accepts a full CLIP state_dict (visual.* ignored)
+    or just the text-side keys; geometry is inferred exactly the way the
+    reference's build_model does (Visualization/.../clip/model.py:407-424)."""
+    from oatx.models import clip_text as ct
+
+    sd = strip_data_parallel_prefix(sd)
+    n_layers = len({k.split(".")[2] for k in sd
+                    if k.startswith("transformer.resblocks.")})
+    width = int(sd["ln_final.weight"].shape[0])
+    cfg = ct.ClipTextConfig(
+        vocab_size=int(sd["token_embedding.weight"].shape[0]),
+        context_length=int(sd["positional_embedding"].shape[0]),
+        width=width,
+        heads=width // 64,
+        layers=n_layers,
+        embed_dim=int(sd["text_projection"].shape[1]),
+    )
+    blocks = []
+    for i in range(n_layers):
+        p = f"transformer.resblocks.{i}"
+        blocks.append({
+            "ln_1": _ln(sd, f"{p}.ln_1"),
+            "attn": {
+                # torch MultiheadAttention packs rows [q;k;v] in
+                # in_proj_weight (3D, D) → one fused (D, 3D) kernel
+                "qkv": {"kernel": _t(sd[f"{p}.attn.in_proj_weight"]),
+                        "bias": jnp.asarray(sd[f"{p}.attn.in_proj_bias"])},
+                "out": _dense(sd, f"{p}.attn.out_proj"),
+            },
+            "ln_2": _ln(sd, f"{p}.ln_2"),
+            "mlp": {"fc1": _dense(sd, f"{p}.mlp.c_fc"),
+                    "fc2": _dense(sd, f"{p}.mlp.c_proj")},
+        })
+    params = {
+        "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
+        "positional_embedding": jnp.asarray(sd["positional_embedding"]),
+        "blocks": stack_params(blocks),
+        "ln_final": _ln(sd, "ln_final"),
+        # text_projection is a raw Parameter used as x @ W — no transpose
+        "text_projection": jnp.asarray(sd["text_projection"]),
+    }
+    return params, cfg

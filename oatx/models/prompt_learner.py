@@ -2,10 +2,15 @@
 
 The reference ships a PromptLearner (model/prompt_learner.py:9-96) that is
 broken (undefined `prompt_prefix`/`dtype`) and unused by any entry point
-(SURVEY.md §2). This is the *working* equivalent over the oatx text tower:
-N learnable context vectors are spliced between the [CLS] embedding and each
-class name's token embeddings, the assembled sequence runs through the frozen
-DistilBERT encoder, and the CLS output (projected) scores classes.
+(SURVEY.md §2). Two working equivalents live here:
+
+  * class_embeddings — over the oatx DistilBERT text tower: N learnable
+    context vectors spliced between [CLS] and each class name's token
+    embeddings, CLS output scores classes;
+  * clip_class_embeddings — the upstream CLIP-backed design, now runnable
+    with the first-party CLIP text encoder (oatx.models.clip_text): learned
+    context replaces the 'X' placeholder embeddings, EOT-pooled CLIP
+    embedding scores classes (reference prompt_learner.py:18-29,73-96).
 """
 
 from __future__ import annotations
@@ -80,6 +85,44 @@ def class_embeddings(
 
     x, _ = jax.lax.scan(body, x, text_params["layers"])
     return x[:, 0]
+
+
+def clip_tokenized_prompts(clip_tokenizer, class_names: Sequence[str],
+                           n_ctx: int, context_length: int = 77) -> jnp.ndarray:
+    """Tokenize 'X X … X <classname>' per class (reference
+    prompt_learner.py:60,77-78: prompt_prefix = n_ctx 'X' placeholders whose
+    embeddings get replaced by the learned context)."""
+    prefix = " ".join(["X"] * n_ctx)
+    return jnp.asarray(clip_tokenizer.tokenize(
+        [f"{prefix} {n}" for n in class_names], context_length=context_length,
+        truncate=True))
+
+
+def clip_class_embeddings(
+    prompt_params: Params,
+    clip_params: Params,
+    clip_cfg,
+    tokenized_prompts: jnp.ndarray,
+    n_ctx: int,
+) -> jnp.ndarray:
+    """CLIP-backed CoOp (the upstream design, working): splice the learned
+    context vectors over the placeholder positions [1, 1+n_ctx) of each
+    prompt's token embeddings (reference prompt_learner.py:79-96), run the
+    frozen CLIP text transformer, EOT-pool @ text_projection
+    (prompt_learner.py:18-29) → (num_classes, embed_dim).
+
+    prompt_params['ctx'] must be (n_ctx, clip_cfg.width) — init with
+    init(rng, ...) passing a config whose dim == clip_cfg.width, or any
+    (n_ctx, width) array."""
+    from oatx.models import clip_text as ct
+
+    n_cls = tokenized_prompts.shape[0]
+    emb = embedding_lookup(clip_params["token_embedding"], tokenized_prompts)
+    ctx = jnp.broadcast_to(prompt_params["ctx"][None],
+                           (n_cls, n_ctx, emb.shape[-1])).astype(emb.dtype)
+    emb = jnp.concatenate([emb[:, :1], ctx, emb[:, 1 + n_ctx:]], axis=1)
+    return ct.encode_text(clip_params, clip_cfg, tokenized_prompts,
+                          inputs_embeds=emb)
 
 
 def classify(

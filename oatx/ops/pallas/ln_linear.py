@@ -96,7 +96,11 @@ def _ln_linear2d(x2d, gamma, beta, w, b, eps):
     # also means GSPMD TP sharding works unchanged. _fwd_pallas remains for
     # re-measurement on other topologies (set_use_pallas(True)).
     if _USE_PALLAS:
-        return _fwd_pallas(x2d, gamma, beta, w, b, eps, _ROW_TILE)
+        # cast master weights to the compute dtype before the kernel (mirrors
+        # ln_mlp and the XLA forward's w.astype; halves kernel VMEM and keeps
+        # the custom bwd's z @ w.astype(dt) numerics consistent)
+        return _fwd_pallas(x2d, gamma, beta, w.astype(x2d.dtype), b, eps,
+                           _ROW_TILE)
     return _fwd_xla(x2d, gamma, beta, w, b, eps)
 
 

@@ -70,8 +70,15 @@ def _erf_approx(x):
 
 def _gelu_f32(x):
     # exact-form GELU via the erf approximation above; |err| <= 7.5e-8·|x|,
-    # far below both f32 test tolerances and bf16 resolution
+    # far below both f32 test tolerances and bf16 resolution. Used ONLY inside
+    # the Pallas kernel (Mosaic has no erf); XLA paths use _gelu_exact_f32.
     return 0.5 * x * (1.0 + _erf_approx(x * 0.7071067811865476))
+
+
+def _gelu_exact_f32(x):
+    # exact GELU (reference video_transformer.py:35-51 nn.GELU) — XLA paths
+    # use lax.erf so the fwd and the bwd recompute are a consistent pair
+    return 0.5 * x * (1.0 + jax.lax.erf(x * 0.7071067811865476))
 
 
 def _kernel(x_ref, g_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *, eps):
@@ -123,7 +130,7 @@ def _fwd_xla(x2d, gamma, beta, w1, b1, w2, b2, eps: float):
     z = xc * jax.lax.rsqrt(var + eps)
     z = (z * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(dt)
     pre1 = jnp.dot(z, w1.astype(dt), preferred_element_type=jnp.float32)
-    h = _gelu_f32(pre1 + b1.astype(jnp.float32)).astype(dt)
+    h = _gelu_exact_f32(pre1 + b1.astype(jnp.float32)).astype(dt)
     y = jnp.dot(h, w2.astype(dt), preferred_element_type=jnp.float32)
     return (y + b2.astype(jnp.float32)).astype(dt)
 
@@ -156,7 +163,7 @@ def _ln_mlp2d_bwd(eps, res, dy):
     z = (u * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(dt)
     pre1 = (jnp.dot(z, w1.astype(dt), preferred_element_type=jnp.float32)
             + b1.astype(jnp.float32))
-    h = _gelu_f32(pre1).astype(dt)
+    h = _gelu_exact_f32(pre1).astype(dt)
 
     dyf = dy.astype(jnp.float32)
     db2 = jnp.sum(dyf, axis=0)

@@ -121,21 +121,59 @@ def shard_opt_state_zero1(mesh: Mesh, opt_state) -> Any:
     has no optimizer sharding — SURVEY.md §2.5 lists it as the pjit freebie).
     GSPMD keeps the update math correct; XLA gathers/scatters as needed, so on
     an N-way data mesh the Adam moments cost 1/N HBM per chip."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, opt_leaf_zero1_sharding(mesh, x)), opt_state)
+
+
+def opt_leaf_zero1_sharding(mesh: Mesh, x) -> NamedSharding:
+    """The ZeRO-1 sharding for one optimizer-state leaf (shape/ndim only, so
+    abstract ShapeDtypeStruct leaves work — the trainer's resume path derives
+    the restore layout without allocating a template state)."""
     from oatx.parallel.mesh import DATA_AXIS
 
     data_size = mesh.shape[DATA_AXIS]
+    if not hasattr(x, "ndim") or x.ndim == 0 or data_size <= 1:
+        return NamedSharding(mesh, P())
+    for dim in range(x.ndim):
+        if x.shape[dim] % data_size == 0 and x.shape[dim] >= data_size:
+            spec = [None] * x.ndim
+            spec[dim] = DATA_AXIS
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
 
-    def place(x):
-        if not hasattr(x, "ndim") or x.ndim == 0 or data_size <= 1:
-            return jax.device_put(x, NamedSharding(mesh, P()))
-        for dim in range(x.ndim):
-            if x.shape[dim] % data_size == 0 and x.shape[dim] >= data_size:
-                spec = [None] * x.ndim
-                spec[dim] = DATA_AXIS
-                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map(place, opt_state)
+def opt_state_template_shardings(params: Dict[str, Any], abstract_opt_state):
+    """Shardings for every optimizer-state leaf WITHOUT materializing one on
+    device (the trainer's resume path — an eager optimizer.init would
+    transiently double the moment HBM at restore).
+
+    optax moment trees (mu/nu/trace/…) mirror the params tree structure, so
+    each opt-state leaf is matched to its param by the LONGEST path suffix
+    that names a param leaf with the same shape, and inherits that param's
+    sharding (what eager init's zeros_like would have produced). Unmatched
+    leaves (e.g. the step count scalar) map to the string 'uncommitted' —
+    a real leaf, unlike None, so tree_map structures still line up."""
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    def names(path) -> Tuple[str, ...]:
+        return tuple(keystr((k,)).strip("[].'\"") for k in path)
+
+    p_leaves, _ = tree_flatten_with_path(params)
+    by_path = {names(path): leaf for path, leaf in p_leaves}
+
+    def lookup(path, leaf):
+        n = names(path)
+        for start in range(len(n)):
+            hit = by_path.get(n[start:])
+            if hit is not None and getattr(hit, "shape", None) == leaf.shape:
+                sh = getattr(hit, "sharding", None)
+                if sh is not None:
+                    return sh
+        return "uncommitted"
+
+    o_leaves, treedef = tree_flatten_with_path(abstract_opt_state)
+    return jax.tree_util.tree_unflatten(
+        treedef, [lookup(path, leaf) for path, leaf in o_leaves])
 
 
 def shard_params_pipeline(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:

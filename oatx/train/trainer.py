@@ -196,20 +196,29 @@ class Trainer:
                 params_r = shardlib.shard_params_pipeline(self.mesh, restored["params"])
             else:
                 params_r = shardlib.shard_params(self.mesh, restored["params"])
-            template = self.optimizer.init(params_r)
+            # derive the template SHARDINGS without materializing a throwaway
+            # opt state on device (optimizer.init would transiently double the
+            # moment HBM at restore — exactly the pod-scale fsdp/zero1 case):
+            # moments inherit their param's sharding (what eager init's
+            # zeros_like produced), zero1 re-derives from shapes alone
+            abstract = jax.eval_shape(self.optimizer.init, params_r)
             if t.zero1 and not t.fsdp:
-                template = shardlib.shard_opt_state_zero1(self.mesh, template)
+                template = jax.tree_util.tree_map(
+                    lambda ab: shardlib.opt_leaf_zero1_sharding(self.mesh, ab),
+                    abstract)
+            else:
+                template = shardlib.opt_state_template_shardings(params_r, abstract)
 
-            def _put(r, tmpl):
+            def _put(r, sh):
                 # honor only mesh (Named) shardings from the template; scalar
                 # leaves like optax count are created single-device by init()
                 # and must stay UNCOMMITTED so jit may place them freely
                 from jax.sharding import NamedSharding
 
-                sh = getattr(tmpl, "sharding", None)
-                if isinstance(sh, NamedSharding):
-                    return jax.device_put(jnp.asarray(r), sh)
-                return jnp.asarray(r)
+                r = jnp.asarray(r)
+                if isinstance(sh, NamedSharding) and r.ndim > 0:
+                    return jax.device_put(r, sh)
+                return r
 
             self.state = steplib.TrainState(
                 params_r,

@@ -90,9 +90,14 @@ def render_heatmap_frame(
     grid_size: Optional[Tuple[int, int]] = None,
     label: Optional[str] = None,
     caption: Optional[str] = None,
+    value_range: str = "unit",
 ) -> np.ndarray:
     """attn (N,) over patches + frame (H, W, 3 uint8) → [heat|frame] panel with
-    optional caption strip → RGB uint8."""
+    optional caption strip → RGB uint8.
+
+    Float frames are interpreted by the explicit value_range contract ('unit'
+    = [0,1] scaled ×255, '255' = already [0,255]) — never by inspecting the
+    data range, which would brighten a genuinely dark [0,255] frame."""
     from PIL import Image, ImageDraw
 
     h, w = frame_rgb.shape[:2]
@@ -107,7 +112,12 @@ def render_heatmap_frame(
     # the 50/50 heat blend would no longer overlay the real input
     f = np.asarray(frame_rgb)
     if f.dtype != np.uint8:
-        f = (np.clip(f, 0.0, 1.0) * 255) if f.max() <= 1.0 + 1e-6 else np.clip(f, 0, 255)
+        if value_range == "unit":
+            f = np.clip(f, 0.0, 1.0) * 255
+        elif value_range == "255":
+            f = np.clip(f, 0, 255)
+        else:
+            raise ValueError(f"value_range must be 'unit' or '255', got {value_range!r}")
     frame = f.astype(np.uint8)
     blend = (heat // 2 + frame // 2).astype(np.uint8)
 

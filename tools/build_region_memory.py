@@ -1,19 +1,25 @@
 """Regenerate the region memory bank (reference `clip_objects_tensor.pt`,
-absent from the reference repo — SURVEY.md §2 'Region memory bank').
+absent from the reference repo — SURVEY.md §2 'Region memory bank';
+consumed at base_dataset_region_mem.py:297-305 as 512-d CLIP text embeddings
+of the 1599 BUTD classes, indexed by object id).
 
-The bank is a (num_classes, dim) matrix of text embeddings of the BUTD object
-vocabulary, indexed by class id at data-loading time
-(oatx.data.objects.RegionMemoryBank). Preference order:
+Backends (--backend, default 'clip'):
 
-  1. real CLIP text encoder, if openai-CLIP/open_clip + weights are available
-     on this host (reproduces the reference's 512-d bank);
-  2. the oatx DistilBERT text tower with an imported checkpoint (pass --ckpt);
-  3. hermetic fallback: the oatx text tower at random init (documented — only
-     for smoke/pipeline runs).
+  clip    first-party JAX CLIP text encoder (oatx.models.clip_text) — the
+          primary path; reproduces the reference's true 512-d bank when given
+          real weights via --clip-ckpt (an OpenAI CLIP / vendored-CLIP torch
+          state_dict). Without --clip-ckpt the encoder is RANDOM-INIT
+          (hermetic; fine for smoke/pipeline runs, loudly labeled).
+          Tokenization: the CLIP BPE (pass --bpe or $OATX_CLIP_BPE); when the
+          merges file is absent, a synthetic merge table learned from the
+          vocab itself keeps the build hermetic (documented divergence).
+  torch-clip  external `clip` package + downloaded weights (legacy option).
+  distilbert  the oatx DistilBERT text tower (optionally --ckpt), padded or
+          truncated to --dim.
 
 Usage:
   python tools/build_region_memory.py --vocab OATrans/utils/objects_vocab.txt \
-      --out region_memory.npy [--ckpt model.pth] [--dim 512]
+      --out region_memory.npy [--clip-ckpt clip_vit_b32.pth] [--dim 512]
 """
 
 from __future__ import annotations
@@ -23,16 +29,61 @@ import sys
 
 import numpy as np
 
+PROMPT = "a photo of a {}"
 
-def encode_with_clip(names, dim):
+
+def encode_with_oatx_clip(names, dim, clip_ckpt=None, bpe=None):
+    import jax
+    import jax.numpy as jnp
+
+    from oatx.data import clip_tokenizer as ctok
+    from oatx.models import clip_text as ct
+
+    random_init = clip_ckpt is None
+    if clip_ckpt:
+        from oatx.models import convert
+
+        params, cfg = convert.clip_text_from_torch(
+            convert.load_torch_checkpoint(clip_ckpt))
+    else:
+        cfg = ct.ClipTextConfig(embed_dim=dim)
+        params = ct.init(jax.random.PRNGKey(0), cfg)
+
+    bpe_path = bpe or ctok.default_bpe_path()
+    if bpe_path:
+        tok = ctok.ClipTokenizer(bpe_path=bpe_path)
+        tok_src = "bpe"
+    else:
+        if not random_init:
+            raise SystemExit(
+                "--clip-ckpt given but no BPE merges found: real CLIP weights "
+                "require the real tokenizer (pass --bpe or set $OATX_CLIP_BPE)")
+        tok = ctok.ClipTokenizer.for_tests(
+            [PROMPT.format(n) for n in names], extra_merges=512)
+        tok_src = "synthetic-bpe"
+    f = jax.jit(lambda ids: ct.encode_text(params, cfg, ids))
+    out = []
+    for i in range(0, len(names), 256):
+        ids = tok.tokenize([PROMPT.format(n) for n in names[i: i + 256]],
+                           context_length=cfg.context_length, truncate=True)
+        ids = np.minimum(ids, cfg.vocab_size - 1)
+        out.append(np.asarray(f(jnp.asarray(ids))))
+    emb = np.concatenate(out).astype(np.float32)
+    if emb.shape[1] < dim:
+        emb = np.pad(emb, ((0, 0), (0, dim - emb.shape[1])))
+    src = f"oatx-clip[{tok_src}]" + ("(random init!)" if random_init else "")
+    return emb[:, :dim], src
+
+
+def encode_with_torch_clip(names, dim):
     import clip  # type: ignore
     import torch
 
     model, _ = clip.load("ViT-B/32", device="cpu")
     with torch.no_grad():
-        tokens = clip.tokenize([f"a photo of a {n}" for n in names])
+        tokens = clip.tokenize([PROMPT.format(n) for n in names])
         emb = model.encode_text(tokens).float().numpy()
-    return emb[:, :dim]
+    return emb[:, :dim], "torch-clip"
 
 
 def encode_with_oatx_text_tower(names, dim, ckpt=None):
@@ -59,7 +110,8 @@ def encode_with_oatx_text_tower(names, dim, ckpt=None):
     emb = np.concatenate(out)
     if emb.shape[1] < dim:
         emb = np.pad(emb, ((0, 0), (0, dim - emb.shape[1])))
-    return emb[:, :dim]
+    src = "oatx-text-tower" + ("(random init!)" if not ckpt else "")
+    return emb[:, :dim], src
 
 
 def main(argv=None):
@@ -67,18 +119,24 @@ def main(argv=None):
     p.add_argument("--vocab", required=True, help="objects_vocab.txt path")
     p.add_argument("--out", required=True, help="output .npy")
     p.add_argument("--dim", type=int, default=512)
-    p.add_argument("--ckpt", default=None, help="torch text-tower checkpoint")
+    p.add_argument("--backend", default="clip",
+                   choices=["clip", "torch-clip", "distilbert"])
+    p.add_argument("--clip-ckpt", default=None,
+                   help="torch CLIP state_dict (.pth/.pt) for the clip backend")
+    p.add_argument("--bpe", default=None, help="bpe_simple_vocab_16e6.txt.gz path")
+    p.add_argument("--ckpt", default=None, help="torch DistilBERT checkpoint "
+                   "(distilbert backend)")
     args = p.parse_args(argv)
 
     from oatx.data.objects import load_object_vocab
 
     names = load_object_vocab(args.vocab)[1:]  # drop __background__
-    try:
-        emb = encode_with_clip(names, args.dim)
-        src = "clip"
-    except Exception:
-        emb = encode_with_oatx_text_tower(names, args.dim, args.ckpt)
-        src = "oatx-text-tower" + ("(random init!)" if not args.ckpt else "")
+    if args.backend == "clip":
+        emb, src = encode_with_oatx_clip(names, args.dim, args.clip_ckpt, args.bpe)
+    elif args.backend == "torch-clip":
+        emb, src = encode_with_torch_clip(names, args.dim)
+    else:
+        emb, src = encode_with_oatx_text_tower(names, args.dim, args.ckpt)
     np.save(args.out, emb.astype(np.float32))
     print(f"wrote {args.out}: {emb.shape} from {src}")
     return 0
