@@ -28,8 +28,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     import os
 
     if os.environ.get("OATX_MULTIHOST") == "1":
-        # multi-host pod: coordinator/process info from the TPU runtime env
-        jax.distributed.initialize()
+        # multi-host pod: coordinator/process info from the TPU runtime env,
+        # or explicit $OATX_COORDINATOR/$OATX_NUM_PROCESSES/$OATX_PROCESS_ID
+        # (manual launch, e.g. the 2-process CPU test in
+        # tests/test_multiprocess_e2e.py — reference train_dist_multi.py:35-38
+        # reads MASTER_ADDR/RANK/WORLD_SIZE the same way, :127-140)
+        coord = os.environ.get("OATX_COORDINATOR")
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=(int(os.environ["OATX_NUM_PROCESSES"])
+                           if coord else None),
+            process_id=(int(os.environ["OATX_PROCESS_ID"]) if coord else None))
     from oatx.utils.compile_cache import enable as _enable_cache
 
     _enable_cache()

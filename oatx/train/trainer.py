@@ -99,20 +99,24 @@ class Trainer:
 
         # batches are sharded over the mesh's data axis; catch indivisible
         # batch sizes here with a config-level message instead of letting
-        # device_put fail deep inside the prefetch thread
+        # device_put fail deep inside the prefetch thread. Config batch_size is
+        # per PROCESS (reference semantics: per-GPU batch, norm.json:43), so on
+        # a multi-host mesh the sharded global batch is batch_size x processes.
         data_axis = self.mesh.shape.get("data", 1)
+        n_proc = jax.process_count()
         for l in train_loaders:  # val batches are padded to the multiple instead
-            if l.batch_size % data_axis != 0:
+            gb = l.batch_size * n_proc
+            if gb % data_axis != 0:
                 raise ValueError(
-                    f"data_loader '{l.dataset_name}' batch_size={l.batch_size} is not "
-                    f"divisible by the mesh data axis ({data_axis} devices); "
-                    f"use a multiple of {data_axis}")
+                    f"data_loader '{l.dataset_name}' global batch {gb} "
+                    f"(batch_size={l.batch_size} x {n_proc} processes) is not "
+                    f"divisible by the mesh data axis ({data_axis} devices)")
             if t.pipeline and t.model_parallel > 1:
                 m = t.pipeline_microbatches
-                if l.batch_size % m != 0 or (l.batch_size // m) % data_axis != 0:
+                if gb % m != 0 or (gb // m) % data_axis != 0:
                     raise ValueError(
                         f"pipeline mode: data_loader '{l.dataset_name}' "
-                        f"batch_size={l.batch_size} must be a multiple of "
+                        f"global batch {gb} must be a multiple of "
                         f"pipeline_microbatches ({m}) x data axis ({data_axis})")
 
         # steps/epoch for the LR schedule (epoch-milestone step decay)
@@ -410,6 +414,32 @@ class Trainer:
 
     # ------------------------------------------------------------------ valid
 
+    def _gather_valid(self, out, n_valid, texts, vids) -> None:
+        """Append this batch's VALID embedding rows to the host-side corpus.
+
+        Multi-host: the batch axis spans processes, so np.asarray would raise
+        on non-addressable shards. Gather the full array on every host (the
+        reference's eval-time all_gather, trainer_dist.py:229-235) plus every
+        process's n_valid, then drop each process block's padding rows — the
+        global row order is process-blocked because
+        make_array_from_process_local_data places each process's local rows on
+        its own addressable devices (mesh device order groups by process)."""
+        if meshlib.spans_processes(self.mesh):
+            from jax.experimental import multihost_utils as mh
+
+            te = np.asarray(mh.process_allgather(out["text_embeds"], tiled=True))
+            ve = np.asarray(mh.process_allgather(out["video_embeds"], tiled=True))
+            nv = np.asarray(mh.process_allgather(
+                np.asarray([n_valid]))).reshape(-1)
+            n_proc = len(nv)
+            blk = te.shape[0] // n_proc
+            for p in range(n_proc):
+                texts.append(te[p * blk: p * blk + int(nv[p])])
+                vids.append(ve[p * blk: p * blk + int(nv[p])])
+        else:
+            texts.append(np.asarray(out["text_embeds"])[:n_valid])
+            vids.append(np.asarray(out["video_embeds"])[:n_valid])
+
     def _valid_epoch(self, epoch: int) -> Dict[str, float]:
         log: Dict[str, float] = {}
         from oatx.data.loader import padded_batches
@@ -422,8 +452,7 @@ class Trainer:
                     padded_batches(iter(loader), multiple), self.mesh):
                 batch.pop("meta", None)
                 out = self.eval_step(self.state.params, batch)
-                texts.append(np.asarray(out["text_embeds"])[:n_valid])
-                vids.append(np.asarray(out["video_embeds"])[:n_valid])
+                self._gather_valid(out, n_valid, texts, vids)
                 self.watchdog.beat()  # long validations are not hangs
             if not texts:
                 continue
