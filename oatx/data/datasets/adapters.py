@@ -358,6 +358,11 @@ class SyntheticVideoText(TextVideoDataset):
 
     def _load_metadata(self):
         n = int(self.video_params.get("num_videos", 16))
+        # fixture geometry overridable for realistic-decode benchmarks
+        # (tools/bench_train_e2e.py uses WebVid-like 320x240, 64 frames)
+        fw = int(self.video_params.get("fixture_width", 128))
+        fh = int(self.video_params.get("fixture_height", 96))
+        ff = int(self.video_params.get("fixture_frames", 0))
         os.makedirs(self.data_dir, exist_ok=True)
         nouns = ["dog", "cat", "car", "tree", "person", "bird", "boat", "horse"]
         verbs = ["runs", "jumps", "sits", "moves", "plays", "stands"]
@@ -368,7 +373,7 @@ class SyntheticVideoText(TextVideoDataset):
             vid = f"clip{i:04d}"
             path = os.path.join(self.data_dir, vid + ".avi")
             if not os.path.exists(path):
-                vr.write_test_video(path, 128, 96, 24 + (i % 3) * 8, 8)
+                vr.write_test_video(path, fw, fh, ff or 24 + (i % 3) * 8, 8)
             cap = f"a {nouns[i % len(nouns)]} {verbs[i % len(verbs)]} in scene {i}"
             self.metadata.append({"videoid": vid, "caption": cap})
             if self.object_dir:
