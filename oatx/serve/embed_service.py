@@ -84,6 +84,31 @@ class EmbedService:
                 return b
         return self.buckets[-1]
 
+    def _chunks(self, n: int):
+        """Bucket plan for n rows. Padding straight up to the covering bucket
+        wastes compute when the gap is large — measured under sustained load:
+        8 coalesced clips padded to bucket 16 halved qps (PERF.md round 3), so
+        8 -> 4+4 (two 132 ms calls beat one 456 ms call). Plans are compared
+        with a linear cost proxy cost(chunk) = F + bucket(chunk) rows, where
+        the per-call fixed cost F is one smallest-bucket's worth of rows —
+        this keeps degenerate all-unit plans (3 -> 1+1+1) from beating a
+        single padded call."""
+        b = self._bucket(n)
+        if n == b or b == self.buckets[0]:
+            return [n]
+        plan, rem = [], n
+        for size in reversed(self.buckets):
+            while rem >= size:
+                plan.append(size)
+                rem -= size
+        if rem:
+            plan.append(rem)  # final partial chunk pads to its own bucket
+        fixed = self.buckets[0]
+        plan_cost = sum(fixed + self._bucket(c) for c in plan)
+        if plan_cost < fixed + b:
+            return plan
+        return [n]
+
     def warmup(self, frames: int, canon: int = 256) -> None:
         """Compile every bucket ahead of serving."""
         for b in self.buckets:
@@ -102,6 +127,13 @@ class EmbedService:
             return np.concatenate([
                 self.embed_video(video_u8[i: i + step])
                 for i in range(0, n, step)])
+        plan = self._chunks(n)
+        if len(plan) > 1:
+            outs, i = [], 0
+            for size in plan:
+                outs.append(self.embed_video(video_u8[i: i + size]))
+                i += size
+            return np.concatenate(outs)
         b = self._bucket(n)
         if n < b:
             pad = np.repeat(video_u8[-1:], b - n, axis=0)
@@ -145,6 +177,7 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue[Tuple[np.ndarray, queue.Queue]]" = queue.Queue()
         self._stop = False
+        self.batch_sizes: list = []  # realized coalesced sizes (observability)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -178,6 +211,7 @@ class MicroBatcher:
                 # the waiting requests, not kill the batcher thread (which
                 # would deadlock every future submit)
                 clips = np.stack([v for v, _ in items])
+                self.batch_sizes.append(len(items))
                 embeds = self.service.embed_video(clips)
                 for (_, done), e in zip(items, embeds):
                     done.put(e)

@@ -252,3 +252,37 @@ def test_http_serve_endpoints(tiny_service, rng):
         server.shutdown()
         server.server_close()
         _Handler.service, _Handler.tokenizer = prev  # no cross-test leakage
+
+
+def test_bucket_chunk_planning(tiny_service):
+    """High-waste coalesced batches decompose into smaller buckets (measured:
+    8 padded to bucket 16 halved qps under load — PERF.md r3); degenerate
+    all-unit plans and low-waste pads stay single calls."""
+    from oatx.serve.embed_service import EmbedService
+
+    svc = EmbedService(tiny_service.params, tiny_service.cfg,
+                       buckets=(1, 4, 16), seq_len=8)
+    assert svc._chunks(16) == [16]
+    assert svc._chunks(4) == [4]
+    assert svc._chunks(1) == [1]
+    assert svc._chunks(8) == [4, 4]
+    assert svc._chunks(9) == [4, 4, 1]
+    assert svc._chunks(12) == [4, 4, 4]
+    assert svc._chunks(3) == [3]     # 1+1+1 would cost more than one pad-to-4
+    assert svc._chunks(14) == [14]   # low waste: keep the single padded call
+
+
+def test_embed_video_decomposed_matches_per_row(tiny_service, rng):
+    from oatx.serve.embed_service import EmbedService
+
+    svc = EmbedService(tiny_service.params, tiny_service.cfg,
+                       buckets=(1, 4, 16), seq_len=8)
+    v = rng.integers(0, 255, (8, 2, 64, 64, 3)).astype(np.uint8)
+    assert svc._chunks(8) == [4, 4]
+    out = svc.embed_video(v)  # decomposed 4+4 path
+    assert out.shape == (8, 8)
+    per_row = np.concatenate([svc.embed_video(v[i: i + 1]) for i in range(8)])
+    np.testing.assert_allclose(out, per_row, atol=1e-5)
+    # oversize path still chunks by the largest bucket
+    v21 = rng.integers(0, 255, (21, 2, 64, 64, 3)).astype(np.uint8)
+    assert svc.embed_video(v21).shape == (21, 8)
