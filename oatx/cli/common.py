@@ -20,7 +20,18 @@ def resolve_tokenizer(
       2. top-level config key "tokenizer": {"vocab": <path>};
       3. a vocab.txt next to arch.text_params.model (HF-layout dir);
       4. hermetic fallback — build a vocab from the training captions (synthetic
-         and smoke runs; deterministic)."""
+         and smoke runs; deterministic).
+
+    text_family 'clip' resolves a CLIP byte-BPE tokenizer instead (checkpoint
+    clip_bpe.txt.gz → tokenizer.bpe / $OATX_CLIP_BPE / assets → synthetic
+    merges from the corpus) — oatx.data.clip_tokenizer."""
+    if exp.arch.text_params.family == "clip":
+        from oatx.data.clip_tokenizer import load_clip_batch_tokenizer
+
+        return load_clip_batch_tokenizer(
+            search_dirs=search_dirs,
+            bpe_path=exp.raw.get("tokenizer", {}).get("bpe"),
+            corpus=corpus)
     for d in search_dirs or []:
         vp = os.path.join(str(d), "vocab.txt")
         if os.path.exists(vp):

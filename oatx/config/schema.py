@@ -82,13 +82,16 @@ class TextParamsCfg:
 
     @property
     def family(self) -> str:
-        """'distilbert' | 'bert' — the reference dispatches on the basename prefix
-        (model.py:104-110, oa_model_global_local.py:211-214)."""
+        """'distilbert' | 'bert' — the reference dispatches on the basename
+        prefix (model.py:104-110, oa_model_global_local.py:211-214) — plus
+        oatx's first-party 'clip' text tower (models/clip_text.py)."""
         base = self.model.split("/")[-1]
         if base.startswith("distilbert"):
             return "distilbert"
         if base.startswith("bert"):
             return "bert"
+        if base.startswith("clip"):
+            return "clip"
         return base
 
     @classmethod
@@ -320,7 +323,7 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
 
     if arch.video_params.model != "SpaceTimeTransformer":
         raise NotImplementedError(f"video model {arch.video_params.model!r}")
-    if arch.text_params.family not in ("distilbert", "bert"):
+    if arch.text_params.family not in ("distilbert", "bert", "clip"):
         raise NotImplementedError(f"text model family {arch.text_params.family!r}")
 
     ARCH_TABLE = {  # arch_config → (embed_dim, depth, num_heads, patch)
@@ -344,7 +347,18 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
         sequence_parallel=vp.sequence_parallel,
     )
     tp = arch.text_params
-    if tp.family == "bert":
+    if tp.family == "clip":
+        from oatx.models.clip_text import ClipTextConfig
+
+        # dim → transformer width; embedding output = width (CLIP ViT-B text)
+        text = ClipTextConfig(
+            vocab_size=tp.vocab_size or 49408,
+            width=tp.dim or 512,
+            heads=tp.n_heads or (tp.dim or 512) // 64,
+            layers=tp.n_layers or 12,
+            embed_dim=tp.dim or 512,
+        )
+    elif tp.family == "bert":
         from oatx.models.bert import BertConfig
 
         text = BertConfig(

@@ -222,3 +222,63 @@ class ClipTokenizer:
         return out
 
     __call__ = tokenize
+
+
+class ClipBatchTokenizer:
+    """WordPieceTokenizer-compatible facade over ClipTokenizer so the CLIP
+    text tower plugs into the standard data plane (Collator calls
+    `tokenizer(texts, max_length=...)` → {'input_ids','attention_mask'};
+    cli.train persists the vocab next to checkpoints via save_vocab)."""
+
+    def __init__(self, tok: ClipTokenizer, bpe_path: Optional[str] = None):
+        self.tok = tok
+        self.bpe_path = bpe_path
+        self.pad_id = 0
+        self.vocab_size = tok.vocab_size
+
+    def __call__(self, texts, max_length: int = CONTEXT_LENGTH):
+        ids = self.tok.tokenize(texts, context_length=max_length, truncate=True)
+        return {"input_ids": ids,
+                "attention_mask": (ids != self.pad_id).astype(np.int32)}
+
+    def encode(self, text: str, add_special_tokens: bool = True,
+               max_length: Optional[int] = None):
+        ids = self.tok.encode(text)
+        if add_special_tokens:
+            ids = [self.tok.sot_id] + ids + [self.tok.eot_id]
+        return ids[:max_length] if max_length else ids
+
+    def save_vocab(self, path: str) -> str:
+        """Persist the EXACT tokenizer next to the checkpoints: copy the BPE
+        merges file as <dir>/clip_bpe.txt.gz (resolve_tokenizer finds it on
+        resume/eval — mismatched merges would silently garble text)."""
+        import shutil
+
+        out = os.path.join(os.path.dirname(path), "clip_bpe.txt.gz")
+        if self.bpe_path and os.path.exists(self.bpe_path):
+            shutil.copyfile(self.bpe_path, out)
+        else:  # synthetic-merges tokenizer: persist the merge table verbatim
+            import gzip
+
+            merges = sorted(self.tok.rank.items(), key=lambda kv: kv[1])
+            with gzip.open(out, "wt", encoding="utf-8") as f:
+                f.write("#version: oatx-synthetic\n")
+                for (a, b), _ in merges:
+                    f.write(f"{a} {b}\n")
+        return out
+
+
+def load_clip_batch_tokenizer(search_dirs=None, bpe_path: Optional[str] = None,
+                              corpus=None) -> ClipBatchTokenizer:
+    """Resolution order mirrors cli.common.resolve_tokenizer: checkpoint-dir
+    clip_bpe.txt.gz → explicit path/$OATX_CLIP_BPE/assets → hermetic synthetic
+    merges built from the corpus."""
+    for d in search_dirs or []:
+        p = os.path.join(str(d), "clip_bpe.txt.gz")
+        if os.path.exists(p):
+            return ClipBatchTokenizer(ClipTokenizer(bpe_path=p), bpe_path=p)
+    p = bpe_path or default_bpe_path()
+    if p:
+        return ClipBatchTokenizer(ClipTokenizer(bpe_path=p), bpe_path=p)
+    texts = corpus() if callable(corpus) else (corpus or [])
+    return ClipBatchTokenizer(ClipTokenizer.for_tests(texts, extra_merges=256))

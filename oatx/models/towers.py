@@ -67,12 +67,29 @@ def _proj_init(rng: jax.Array, d_in: int, d_out: int) -> Params:
     return {"kernel": trunc_normal(rng, (d_in, d_out)), "bias": jnp.zeros((d_out,))}
 
 
+def _text_out_dim(cfg: TowerConfig) -> int:
+    """Width of the pooled text feature feeding txt_proj: hidden dim for the
+    (distil)bert towers, the CLIP projection's embed_dim for the clip tower."""
+    if cfg.text_family == "clip":
+        return cfg.text.embed_dim
+    return cfg.text.dim
+
+
 def init(rng: jax.Array, cfg: TowerConfig) -> Params:
     rs = jax.random.split(rng, 8)
     if cfg.text_family == "bert":
         from oatx.models import bert as bert_mod
 
         text_params = bert_mod.init(rs[1], cfg.text)
+    elif cfg.text_family == "clip":
+        from oatx.models import clip_text as ct
+
+        if cfg.variant == "global_local":
+            # global_local needs per-token hidden features in the text width;
+            # the CLIP tower pools through its projection — not wired up
+            raise NotImplementedError(
+                "text_family='clip' supports variants 'baseline'/'region_mem'")
+        text_params = ct.init(rs[1], cfg.text)
     else:
         text_params = dbert.init(rs[1], cfg.text)
     params: Params = {
@@ -80,7 +97,7 @@ def init(rng: jax.Array, cfg: TowerConfig) -> Params:
         "text": text_params,
     }
     if cfg.projection == "minimal":
-        params["txt_proj"] = _proj_init(rs[2], cfg.text.dim, cfg.projection_dim)
+        params["txt_proj"] = _proj_init(rs[2], _text_out_dim(cfg), cfg.projection_dim)
         params["vid_proj"] = _proj_init(rs[3], cfg.video.embed_dim, cfg.projection_dim)
         if cfg.variant == "global_local":
             params["txt_local_proj"] = _proj_init(rs[4], cfg.text.dim, cfg.projection_dim)
@@ -120,7 +137,19 @@ def compute_text(
     """Text embedding (B, proj_dim); optionally also the full token features.
 
     distilbert → CLS hidden state; bert → tanh pooler output (reference
-    model.py:104-110 dispatch)."""
+    model.py:104-110 dispatch); clip → EOT-pooled @ text_projection
+    (oatx first-party tower, models/clip_text.py — causal mask, so
+    attention_mask is unused)."""
+    if cfg.text_family == "clip":
+        from oatx.models import clip_text as ct
+
+        pooled = ct.encode_text(params["text"], cfg.text, input_ids,
+                                dtype=cfg.compute_dtype)
+        emb = _txt_proj(params, cfg, pooled.astype(jnp.float32))
+        if return_tokens:
+            return emb, ct.encode_text_tokens(params["text"], cfg.text,
+                                              input_ids, dtype=cfg.compute_dtype)
+        return emb
     if cfg.text_family == "bert":
         from oatx.models import bert as bert_mod
 

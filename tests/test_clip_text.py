@@ -268,7 +268,9 @@ def test_build_region_memory_clip_backend(tmp_path):
     finally:
         sys.path.pop(0)
     vocab = tmp_path / "objects_vocab.txt"
-    names = ["__background__"] + [f"thing{i}" for i in range(17)]
+    # file format matches the reference objects_vocab.txt: one class per line,
+    # NO __background__ row (load_object_vocab prepends it)
+    names = [f"thing{i}" for i in range(17)]
     vocab.write_text("\n".join(names) + "\n")
     out = tmp_path / "bank.npy"
     env_bpe = os.environ.pop("OATX_CLIP_BPE", None)
@@ -283,3 +285,88 @@ def test_build_region_memory_clip_backend(tmp_path):
     assert np.all(np.isfinite(bank))
     # distinct classes get distinct rows
     assert np.unique(bank.round(4), axis=0).shape[0] == 17
+
+
+# ------------------------------------------------- text_family='clip' tower
+
+def test_clip_text_family_tower_and_config():
+    """Config → TowerConfig with text_params.model='clip', full dual-tower
+    forward + one train step over the clip text tower."""
+    from oatx.config.schema import ArchCfg
+    from oatx.config import schema as schemalib
+    from oatx.models import towers
+    from oatx.train import step as steplib
+    import optax
+
+    arch = ArchCfg.from_dict({
+        "type": "FrozenInTime", "variant": "baseline", "args": {
+            "video_params": {"model": "SpaceTimeTransformer", "num_frames": 2,
+                             "input_res": 32, "embed_dim": 64, "depth": 1,
+                             "num_heads": 4, "time_init": "zeros",
+                             "pretrained": False},
+            "text_params": {"model": "clip", "pretrained": False,
+                            "vocab_size": 600, "dim": 64, "n_layers": 2,
+                            "n_heads": 2},
+            "projection": "minimal", "projection_dim": 32,
+            "load_checkpoint": ""}})
+    assert arch.text_params.family == "clip"
+    cfg = schemalib.build_tower_config(arch)
+    assert cfg.text_family == "clip" and cfg.text.width == 64
+    assert cfg.text.embed_dim == 64 and cfg.text.layers == 2
+
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    assert params["txt_proj"]["kernel"].shape == (64, 32)
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": jnp.asarray(rng.standard_normal((4, 2, 32, 32, 3)), jnp.float32),
+        "input_ids": jnp.asarray(rng.integers(1, 600, (4, 12)).astype(np.int32)),
+        "attention_mask": jnp.ones((4, 12), jnp.int32),
+    }
+    te, ve = towers.forward_baseline(params, cfg, batch)
+    assert te.shape == (4, 32) and ve.shape == (4, 32)
+
+    opt = optax.adamw(1e-3)
+    state = steplib.init_state(jax.random.PRNGKey(1), cfg, opt, params=params)
+    step = steplib.make_train_step(cfg, steplib.LossConfig(), opt, donate=False)
+    state2, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    # clip text params actually received gradients
+    a = params["text"]["token_embedding"]
+    b = state2.params["text"]["token_embedding"]
+    assert float(jnp.abs(a - b).max()) > 0
+
+
+def test_clip_batch_tokenizer_collator_roundtrip(tmp_path):
+    from oatx.data.clip_tokenizer import (ClipBatchTokenizer, ClipTokenizer,
+                                          load_clip_batch_tokenizer)
+
+    corpus = ["a dog runs", "a cat sits in scene"]
+    tok = ClipBatchTokenizer(ClipTokenizer.for_tests(corpus, extra_merges=64))
+    out = tok(corpus, max_length=16)
+    assert out["input_ids"].shape == (2, 16)
+    assert out["attention_mask"].shape == (2, 16)
+    assert out["input_ids"][0, 0] == tok.tok.sot_id
+    # mask covers exactly the non-pad ids
+    np.testing.assert_array_equal(out["attention_mask"],
+                                  (out["input_ids"] != 0).astype(np.int32))
+    # save_vocab persists the merges; reload resolves from the checkpoint dir
+    tok.save_vocab(str(tmp_path / "vocab.txt"))
+    assert (tmp_path / "clip_bpe.txt.gz").exists()
+    tok2 = load_clip_batch_tokenizer(search_dirs=[str(tmp_path)])
+    np.testing.assert_array_equal(tok2(corpus, max_length=16)["input_ids"],
+                                  out["input_ids"])
+
+
+def test_clip_family_global_local_rejected():
+    from oatx.models import clip_text as ct
+    from oatx.models import towers
+    from oatx.models import vit_spacetime as vst
+
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=64,
+                                     depth=1, num_heads=4, num_frames=2),
+        text=ct.ClipTextConfig(vocab_size=64, context_length=16, width=64,
+                               heads=2, layers=1, embed_dim=64),
+        text_family="clip", variant="global_local", projection_dim=16)
+    with pytest.raises(NotImplementedError):
+        towers.init(jax.random.PRNGKey(0), cfg)
