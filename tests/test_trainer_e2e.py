@@ -199,3 +199,37 @@ def test_validation_skips_mask_requiring_metrics(tmp_path):
     log = hist[1]
     assert any(k.startswith("val_0_t2v_") for k in log)
     assert not any("mAP" in k or "mean_average" in k for k in log)
+
+
+def test_clip_text_family_cli_train(tmp_path):
+    """Full CLI training with the first-party CLIP text tower: tokenizer
+    resolution (synthetic BPE fallback), clip_bpe.txt.gz persisted next to the
+    checkpoints, loss finite, and eval CLI runs against the checkpoint."""
+    import os as _os
+
+    from oatx.cli.train import main
+
+    env_bpe = _os.environ.pop("OATX_CLIP_BPE", None)
+    try:
+        cfg = _smoke_config(tmp_path)
+        cfg["name"] = "e2e-clip"
+        cfg["arch"]["args"]["text_params"] = {
+            "model": "clip", "pretrained": False, "vocab_size": 1024,
+            "dim": 32, "n_layers": 1, "n_heads": 2}
+        cfg["trainer"]["epochs"] = 1
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(json.dumps(cfg))
+        rc = main(["-c", str(cfg_path), "--no_timestamp"])
+        assert rc == 0
+        save_dir = tmp_path / "exps" / "models" / "e2e-clip"
+        assert (save_dir / "clip_bpe.txt.gz").exists()
+        assert (save_dir / "checkpoint-epoch1").exists()
+
+        from oatx.cli.test import main as eval_main
+
+        rc = eval_main(["-r", str(save_dir / "checkpoint-epoch1"),
+                        "--split", "train"])
+        assert rc == 0
+    finally:
+        if env_bpe is not None:
+            _os.environ["OATX_CLIP_BPE"] = env_bpe
