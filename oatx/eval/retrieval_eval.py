@@ -70,10 +70,17 @@ def evaluate(
     metric_names: List[str] = ("t2v_metrics", "v2t_metrics"),
     mesh=None,
     query_masks: Optional[np.ndarray] = None,
+    chunk: Optional[int] = 8,
 ) -> EvalResult:
     import jax
 
-    eval_step = steplib.make_eval_step(tower_cfg)
+    # chunk: single-chip eval scans bs-`chunk` sub-batches inside one jit —
+    # large eval batches otherwise hit XLA's big-batch layout transposes
+    # (193.7 clips/s at bs=64 vs 320 chunked; PERF.md round 3). Under a mesh
+    # the batch dim is sharded over data; chunking would re-split that dim, so
+    # the scan is disabled there (per-chip shards stay small anyway).
+    eval_step = steplib.make_eval_step(
+        tower_cfg, chunk=chunk if mesh is None else None)
     obj_fn = None
     if getattr(tower_cfg, "object_tower", None) is not None:
         from oatx.models import towers

@@ -210,19 +210,47 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: towers.TowerConfig, augment: Optional[Callable] = None) -> Callable:
+def make_eval_step(cfg: towers.TowerConfig, augment: Optional[Callable] = None,
+                   chunk: Optional[int] = None) -> Callable:
     """Jitted embedding step for validation/retrieval eval: returns the embeddings
-    (host gathers and computes metrics — reference _valid_epoch semantics)."""
+    (host gathers and computes metrics — reference _valid_epoch semantics).
+
+    chunk: when set, a batch larger than `chunk` is processed as lax.scan'd
+    sub-batches of that size inside ONE jit call. Rationale (PERF.md round 3,
+    device traces): above bs≈16 XLA materializes layout transposes around the
+    divided-attention reshapes (copy/reshape op classes blow up 14–90×, 54% of
+    the bs=64 step) while the matmuls scale fine; scanning bs=`chunk` sub-
+    batches keeps the copy-free small-batch tilings, and the single dispatch
+    amortizes the per-call overhead a bs-8 loop would pay per sub-batch. The
+    batch leading dim must be divisible by `chunk` (eval loaders pad already);
+    batches ≤ chunk run unscanned."""
     if augment is None:
         augment = make_augmenter(train=False, tower_cfg=cfg)
 
-    def step(params: Params, batch: Dict[str, jnp.ndarray]):
+    def body(params: Params, batch: Dict[str, jnp.ndarray]):
         batch = augment(jax.random.PRNGKey(0), batch)
         out = towers.forward(params, cfg, batch)
         if cfg.variant == "baseline":
             text_e, video_e = out
             return {"text_embeds": text_e, "video_embeds": video_e}
         return {k: v for k, v in out.items() if k.endswith("_embeds")}
+
+    if chunk is None:
+        return jax.jit(body)
+
+    def step(params: Params, batch: Dict[str, jnp.ndarray]):
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if b <= chunk:
+            return body(params, batch)
+        if b % chunk != 0:
+            raise ValueError(f"eval batch {b} not divisible by chunk={chunk}")
+        n = b // chunk
+        sub = jax.tree_util.tree_map(
+            lambda x: x.reshape((n, chunk) + x.shape[1:]), batch)
+        _, outs = jax.lax.scan(lambda c, mb: (c, body(params, mb)),
+                               jnp.zeros((), jnp.int32), sub)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((b,) + x.shape[2:]), outs)
 
     return jax.jit(step)
 

@@ -126,3 +126,38 @@ def test_forward_jits(rng):
     t2, v2 = towers.forward(params, cfg, batch)
     np.testing.assert_allclose(np.asarray(t), np.asarray(t2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-5)
+
+
+def test_chunked_eval_step_matches_unchunked(rng):
+    """make_eval_step(chunk=N) scans bs-N sub-batches inside one jit (the
+    large-batch eval layout fix, PERF.md round 3) — outputs must equal the
+    plain step on the same batch, and batches <= chunk must skip the scan."""
+    from oatx.train import step as steplib
+
+    cfg = _tiny_cfg()
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    batch = {
+        "video": jnp.array(
+            rng.integers(0, 255, (16, 2, 48, 48, 3)), jnp.uint8),
+        "input_ids": jnp.array(rng.integers(0, 100, (16, 7))),
+        "attention_mask": jnp.ones((16, 7), jnp.int32),
+    }
+    plain = steplib.make_eval_step(cfg)(params, batch)
+    chunked = steplib.make_eval_step(cfg, chunk=4)(params, batch)
+    assert set(plain) == set(chunked)
+    for k in plain:
+        np.testing.assert_allclose(
+            np.asarray(plain[k]), np.asarray(chunked[k]), rtol=2e-5, atol=2e-5)
+
+    # batch == chunk: the unscanned path, still identical
+    small = {k: v[:4] for k, v in batch.items()}
+    s_plain = steplib.make_eval_step(cfg)(params, small)
+    s_chunk = steplib.make_eval_step(cfg, chunk=4)(params, small)
+    for k in s_plain:
+        np.testing.assert_allclose(
+            np.asarray(s_plain[k]), np.asarray(s_chunk[k]), rtol=2e-5, atol=2e-5)
+
+    # indivisible batch: loud error, not silent mis-grouping
+    bad = {k: v[:6] for k, v in batch.items()}
+    with pytest.raises(ValueError, match="divisible"):
+        steplib.make_eval_step(cfg, chunk=4)(params, bad)

@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--canon", type=int, default=256)
     p.add_argument("--trace", default=None)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="scan chunk size for make_eval_step (large-batch "
+                        "layout fix; PERF.md round 3)")
     args = p.parse_args(argv)
     batches = [int(x) for x in args.batches.split(",")]
 
@@ -55,7 +58,7 @@ def main(argv=None):
         text=dbert.DistilBertConfig(),
         projection_dim=256, variant="baseline", compute_dtype=jnp.bfloat16)
     params = towers.init(jax.random.PRNGKey(0), cfg)
-    eval_step = steplib.make_eval_step(cfg)
+    eval_step = steplib.make_eval_step(cfg, chunk=args.chunk)
 
     rng = np.random.default_rng(0)
     rows = []
@@ -100,6 +103,7 @@ def main(argv=None):
 
         rows.append({
             "bs": bs,
+            "chunk": args.chunk,
             "device_ms": round(dev_ms, 1),
             "device_clips_per_s": round(bs / dev_ms * 1e3, 1),
             "with_h2d_ms": round(h2d_ms, 1),
