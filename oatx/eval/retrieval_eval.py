@@ -78,9 +78,14 @@ def evaluate(
     # large eval batches otherwise hit XLA's big-batch layout transposes
     # (193.7 clips/s at bs=64 vs 320 chunked; PERF.md round 3). Under a mesh
     # the batch dim is sharded over data; chunking would re-split that dim, so
-    # the scan is disabled there (per-chip shards stay small anyway).
-    eval_step = steplib.make_eval_step(
-        tower_cfg, chunk=chunk if mesh is None else None)
+    # the scan is disabled there (per-chip shards stay small anyway). Batches
+    # arrive padded to exactly loader.batch_size, so indivisible sizes just
+    # disable the scan rather than erroring.
+    if chunk is not None:
+        divisible = loader.batch_size <= chunk or loader.batch_size % chunk == 0
+        if mesh is not None or not divisible:
+            chunk = None
+    eval_step = steplib.make_eval_step(tower_cfg, chunk=chunk)
     obj_fn = None
     if getattr(tower_cfg, "object_tower", None) is not None:
         from oatx.models import towers
@@ -214,7 +219,18 @@ def evaluate_streams(
     from oatx.train.step import make_augmenter
 
     aug = make_augmenter(train=False, tower_cfg=tower_cfg)
-    fwd = jax.jit(lambda p, b: towers.forward_global_local(p, tower_cfg, b))
+    from oatx.train.step import scan_chunked
+
+    def _fwd(p, b):
+        body = lambda mb: towers.forward_global_local(p, tower_cfg, mb)
+        bs = jax.tree_util.tree_leaves(b)[0].shape[0]
+        if mesh is None and bs % 8 == 0:
+            # single-chip: scan bs-8 sub-batches (large-batch layout fix,
+            # PERF.md round 3); under a mesh the data axis already splits bs
+            return scan_chunked(body, 8)(b)
+        return body(b)
+
+    fwd = jax.jit(_fwd)
     acc: Dict[str, List[np.ndarray]] = {k: [] for k in (
         "text_embeds", "pad_text_embeds", "video_embeds", "object_img_embeds")}
     multiple = loader.batch_size

@@ -54,12 +54,12 @@ class EmbedService:
     """
 
     def __init__(self, params, tower_cfg, buckets: Sequence[int] = (1, 4, 16),
-                 seq_len: int = 30):
+                 seq_len: int = 30, scan_chunk: int = 8):
         import jax
         import jax.numpy as jnp
 
         from oatx.models import towers
-        from oatx.train.step import make_augmenter
+        from oatx.train.step import make_augmenter, scan_chunked
 
         self.params = params
         self.cfg = tower_cfg
@@ -68,9 +68,19 @@ class EmbedService:
         self.stats = {"video": LatencyStats(), "text": LatencyStats()}
         aug = make_augmenter(train=False, tower_cfg=tower_cfg)
 
-        def video_fn(p, video_u8):
+        def video_body(p, video_u8):
             batch = aug(jax.random.PRNGKey(0), {"video": video_u8})
             return towers.compute_video(p, tower_cfg, batch["video"])["cls"]
+
+        def video_fn(p, video_u8):
+            # large buckets scan bs-`scan_chunk` sub-batches inside one jit —
+            # the bucket-16 graph otherwise pays XLA's big-batch layout
+            # transposes (PERF.md round 3: 320 vs 194 clips/s at bs=64). Only
+            # divisible bucket sizes scan; others run unchunked.
+            if scan_chunk and video_u8.shape[0] % scan_chunk == 0:
+                return scan_chunked(
+                    lambda v: video_body(p, v), scan_chunk)(video_u8)
+            return video_body(p, video_u8)
 
         def text_fn(p, ids, mask):
             return towers.compute_text(p, tower_cfg, ids, mask)

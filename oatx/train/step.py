@@ -210,6 +210,31 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def scan_chunked(fn: Callable, chunk: int) -> Callable:
+    """Wrap a batch→pytree function so batches larger than `chunk` run as
+    lax.scan'd chunk-sized sub-batches inside the SAME trace. Above bs≈16 XLA
+    materializes layout transposes around the divided-attention reshapes
+    (copy/reshape classes blow up 14–90×, PERF.md round 3); the scan body keeps
+    the copy-free small-batch tilings and one dispatch covers the whole batch.
+    The leading dim must be divisible by `chunk`; batches ≤ chunk pass through."""
+
+    def wrapped(batch):
+        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if b <= chunk:
+            return fn(batch)
+        if b % chunk != 0:
+            raise ValueError(f"batch {b} not divisible by chunk={chunk}")
+        n = b // chunk
+        sub = jax.tree_util.tree_map(
+            lambda x: x.reshape((n, chunk) + x.shape[1:]), batch)
+        _, outs = jax.lax.scan(lambda c, mb: (c, fn(mb)),
+                               jnp.zeros((), jnp.int32), sub)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((b,) + x.shape[2:]), outs)
+
+    return wrapped
+
+
 def make_eval_step(cfg: towers.TowerConfig, augment: Optional[Callable] = None,
                    chunk: Optional[int] = None) -> Callable:
     """Jitted embedding step for validation/retrieval eval: returns the embeddings
@@ -239,18 +264,7 @@ def make_eval_step(cfg: towers.TowerConfig, augment: Optional[Callable] = None,
         return jax.jit(body)
 
     def step(params: Params, batch: Dict[str, jnp.ndarray]):
-        b = jax.tree_util.tree_leaves(batch)[0].shape[0]
-        if b <= chunk:
-            return body(params, batch)
-        if b % chunk != 0:
-            raise ValueError(f"eval batch {b} not divisible by chunk={chunk}")
-        n = b // chunk
-        sub = jax.tree_util.tree_map(
-            lambda x: x.reshape((n, chunk) + x.shape[1:]), batch)
-        _, outs = jax.lax.scan(lambda c, mb: (c, body(params, mb)),
-                               jnp.zeros((), jnp.int32), sub)
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape((b,) + x.shape[2:]), outs)
+        return scan_chunked(lambda mb: body(params, mb), chunk)(batch)
 
     return jax.jit(step)
 

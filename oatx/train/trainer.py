@@ -262,7 +262,16 @@ class Trainer:
             eval_cfg = _dc.replace(
                 self.tower_cfg,
                 video=_dc.replace(self.tower_cfg.video, pipeline_stages=1))
-        self.eval_step = steplib.make_eval_step(eval_cfg)
+        # single-chip validation scans bs-8 sub-batches inside one jit (the
+        # large-batch layout fix, PERF.md round 3); under a sharded data axis
+        # the batch dim is already split per chip, so the scan is disabled —
+        # likewise for val batch sizes the scan cannot divide
+        eval_chunk: Optional[int] = None
+        if self.mesh.shape.get("data", 1) == 1:
+            vb = max((l.batch_size for l in self.valid_loaders), default=1)
+            if vb <= 8 or vb % 8 == 0:
+                eval_chunk = 8
+        self.eval_step = steplib.make_eval_step(eval_cfg, chunk=eval_chunk)
         self.not_improved = 0
 
         # preemption safety (beyond the reference — SURVEY.md §5 lists no elastic
