@@ -260,6 +260,10 @@ class TrainerCfg:
     model_parallel: int = 1
     seed: int = 0
     accum_steps: int = 1       # gradient accumulation micro-steps
+    fwd_chunk: int = 0         # >0: remat-scan the tower forwards in chunks of
+    # this size with the contrastive loss over the FULL batch — exact large-
+    # batch negatives in bounded memory (vs accum_steps' micro-batch
+    # negatives); single-chip only, ~4/3 FLOPs (train/step.py loss_fn)
     zero1: bool = False        # shard optimizer state over the data axis
     fsdp: bool = False         # ZeRO-3 analogue: params (+ their moments)
     # sharded over the data axis (GSPMD weight-gathered schedule); subsumes zero1

@@ -74,9 +74,26 @@ def loss_fn(
     cfg: towers.TowerConfig,
     loss_cfg: LossConfig,
     batch: Dict[str, jnp.ndarray],
+    fwd_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """fwd_chunk: compute the per-sample tower outputs as lax.scan'd chunk-
+    sized sub-batches with a remat'd body, then the loss over the FULL batch
+    of embeddings. Unlike accum_steps this keeps EXACT large-batch contrastive
+    semantics (negatives span the whole batch) in bounded memory: without it
+    each chunk's f32 attention probabilities (~150 MB x depth per bs-8 chunk)
+    persist as scan residuals and bs=16 already overflows a 16 GB chip. Cost
+    is the remat forward (~4/3 step FLOPs): measured 82 clips/s at bs=64 vs
+    104 at bs=8 plain — trade throughput for 8x the negatives per update
+    (PERF.md round 3)."""
+
+    def fwd(f, b):
+        if fwd_chunk:
+            return scan_chunked(jax.checkpoint(lambda mb: f(params, cfg, mb)),
+                                fwd_chunk)(b)
+        return f(params, cfg, b)
+
     if cfg.variant == "baseline":
-        text_e, video_e = towers.forward_baseline(params, cfg, batch)
+        text_e, video_e = fwd(towers.forward_baseline, batch)
         loss = _embed_pair_loss(text_e, video_e, loss_cfg)
         metrics = {"loss": loss}
         if (loss_cfg.object_nce_weight > 0 and cfg.object_tower is not None
@@ -88,7 +105,7 @@ def loss_fn(
             metrics = {"loss": loss, "loss_object": l_obj}
         return loss, metrics
     if cfg.variant == "global_local":
-        out = towers.forward_global_local(params, cfg, batch)
+        out = fwd(towers.forward_global_local, batch)
         l_st2sv = _pair_loss(C.sim_matrix(out["text_embeds"], out["video_embeds"]), loss_cfg)
         l_lt2sv = _pair_loss(C.sim_matrix(out["pad_text_embeds"], out["video_embeds"]), loss_cfg)
         l_fine = C.fine_grained_region_tag_loss(
@@ -97,7 +114,7 @@ def loss_fn(
         return loss, {"loss": loss, "loss_st2sv": l_st2sv, "loss_lt2sv": l_lt2sv,
                       "loss_fine": l_fine}
     if cfg.variant == "region_mem":
-        out = towers.forward_region_mem(params, cfg, batch)
+        out = fwd(towers.forward_region_mem, batch)
         l_nce = _pair_loss(C.sim_matrix(out["text_embeds"], out["video_embeds"]), loss_cfg)
         l_region = C.region_bce(out["region_sim_logits"], batch["patch_masks"])
         loss = l_nce + loss_cfg.region_bce_weight * l_region
@@ -140,6 +157,7 @@ def make_train_step(
     base_rng: Optional[jax.Array] = None,
     accum_steps: int = 1,
     skip_nonfinite: bool = False,
+    fwd_chunk: Optional[int] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. State is donated (params updated in place in
     HBM). Shard the batch over the mesh's data axis before calling. If `augment`
@@ -152,6 +170,14 @@ def make_train_step(
     batch — the loss value reflects micro-batch negatives, like training with a
     smaller batch at the same optimizer cadence.
 
+    fwd_chunk (single-chip batch scaling) computes the tower forwards as
+    remat'd chunk-sized scan iterations while the contrastive loss still spans
+    the FULL batch — exact large-batch negative semantics in bounded memory,
+    at ~4/3 the FLOPs (see loss_fn). Composes with neither accum_steps'
+    micro-batch negatives (they chunk the LOSS) nor a sharded data axis
+    (which already splits the batch dim) — the Trainer only enables it on a
+    1-wide data axis.
+
     skip_nonfinite=True makes a step whose loss or gradients are non-finite a
     NO-OP (params, optimizer moments and the step counter keep their previous
     values; metrics report skipped=1). One corrupt batch then cannot poison
@@ -161,7 +187,8 @@ def make_train_step(
         base_rng = jax.random.PRNGKey(0)
 
     def grads_of(params, batch):
-        return jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, loss_cfg, batch)
+        return jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, loss_cfg, batch, fwd_chunk)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if augment is not None:

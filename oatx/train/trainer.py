@@ -247,10 +247,21 @@ class Trainer:
                     self.monitor_best = mb
 
         self.augment = steplib.make_augmenter(train=True, tower_cfg=self.tower_cfg)
+        fwd_chunk = getattr(t, "fwd_chunk", 0) or None
+        if fwd_chunk and self.mesh.shape.get("data", 1) > 1:
+            self.logger.warning(
+                "fwd_chunk=%d ignored: the %d-wide data axis already splits "
+                "the batch dim (see make_train_step)", fwd_chunk,
+                self.mesh.shape["data"])
+            fwd_chunk = None
+        if fwd_chunk and t.accum_steps > 1:
+            raise ValueError("fwd_chunk and accum_steps are mutually exclusive "
+                             "(full-batch vs micro-batch negative semantics)")
         self.train_step = steplib.make_train_step(
             self.tower_cfg, self.loss_cfg, self.optimizer,
             augment=self.augment, base_rng=jax.random.PRNGKey(t.seed + 1),
-            accum_steps=t.accum_steps, skip_nonfinite=t.skip_nonfinite)
+            accum_steps=t.accum_steps, skip_nonfinite=t.skip_nonfinite,
+            fwd_chunk=fwd_chunk)
         eval_cfg = self.tower_cfg
         if t.pipeline and self.tower_cfg.video.pipeline_stages > 1:
             # eval batches are padded to the data axis, not to microbatch

@@ -132,3 +132,58 @@ def test_skip_nonfinite_step_is_noop():
                   for a, b in zip(jax.tree_util.tree_leaves(s2.params),
                                   jax.tree_util.tree_leaves(s1.params)))
     assert changed
+
+
+def test_fwd_chunk_matches_plain_step(tiny):
+    """fwd_chunk (remat-scan tower forwards + full-batch loss) must be
+    SEMANTICALLY IDENTICAL to the plain step — same loss, same one-step
+    update — unlike accum_steps, which micro-batches the negatives."""
+    cfg, params, batch = tiny
+    opt = optim.make_optimizer(lr=1e-3)
+    pA = jax.tree_util.tree_map(jnp.array, params)
+    pB = jax.tree_util.tree_map(jnp.array, params)
+    sA = steplib.init_state(jax.random.PRNGKey(1), cfg, opt, params=pA)
+    sB = steplib.init_state(jax.random.PRNGKey(1), cfg, opt, params=pB)
+    plain = steplib.make_train_step(cfg, steplib.LossConfig(), opt, donate=False)
+    chunked = steplib.make_train_step(cfg, steplib.LossConfig(), opt,
+                                      donate=False, fwd_chunk=2)
+    sA, mA = plain(sA, batch)
+    sB, mB = chunked(sB, batch)
+    assert float(mB["loss"]) == pytest.approx(float(mA["loss"]), rel=1e-5)
+    # compare RAW gradients, not Adam updates: grad/sqrt(v) amplifies the
+    # scan's fp-reordered low bits unboundedly where grads are ~0
+    gfn = jax.jit(lambda p, b, c: jax.grad(
+        lambda q: steplib.loss_fn(q, cfg, steplib.LossConfig(), b, c)[0])(p),
+        static_argnums=2)
+    gA = gfn(pA, batch, None)
+    gB = gfn(pA, batch, 2)
+    for a, b in zip(jax.tree_util.tree_leaves(gA), jax.tree_util.tree_leaves(gB)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 5e-6 + 1e-4 * np.abs(a).max()
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+
+def test_fwd_chunk_variant_forward(tiny):
+    """fwd_chunk routes every variant's forward through the scan; region_mem
+    exercises per-sample non-embed batch keys (patch_masks, memory rows)."""
+    cfg0, _, _ = tiny
+    import dataclasses as dc
+    cfg = dc.replace(
+        cfg0, variant="region_mem",
+        video=dc.replace(cfg0.video, region_tap_layer=1))
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    n = cfg.video.patches_per_frame
+    batch = {
+        "video": jnp.array(rng.standard_normal((4, 1, 32, 32, 3)), jnp.float32),
+        "object_frame": jnp.array(rng.standard_normal((4, 1, 32, 32, 3)), jnp.float32),
+        "input_ids": jnp.array(rng.integers(0, 64, (4, 8))),
+        "attention_mask": jnp.ones((4, 8), jnp.int32),
+        "patch_masks": jnp.array(rng.integers(0, 2, (4, 1, n)), jnp.float32),
+        "text_region_embedding": jnp.array(
+            rng.standard_normal((4, 1, 512)), jnp.float32),
+    }
+    l_plain, _ = steplib.loss_fn(params, cfg, steplib.LossConfig(), batch)
+    l_chunk, _ = steplib.loss_fn(params, cfg, steplib.LossConfig(), batch,
+                                 fwd_chunk=2)
+    assert float(l_chunk) == pytest.approx(float(l_plain), rel=1e-5)
