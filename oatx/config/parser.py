@@ -23,9 +23,16 @@ from oatx.config.schema import ExperimentCfg
 
 CustomArg = Tuple[Sequence[str], type, Sequence[str]]  # (flags, type, key_path)
 
+def _int_list(s: str) -> List[int]:
+    """'60,80' → [60, 80] (reference -sc/--schedule format, args.py:142)."""
+    return [int(x) for x in s.replace("[", "").replace("]", "").split(",") if x]
+
+
 DEFAULT_CUSTOM_ARGS: List[CustomArg] = [
     (("--lr", "--learning_rate"), float, ("optimizer", "args", "lr")),
     (("--bs", "--batch_size"), int, ("data_loader", "args", "batch_size")),
+    (("--epochs",), int, ("trainer", "epochs")),
+    (("--schedule",), _int_list, ("optimizer", "args", "milestones")),
 ]
 
 

@@ -55,10 +55,14 @@ def test_cli_overrides(tmp_path):
     raw["trainer"]["save_dir"] = str(tmp_path / "exps")
     cfgfile.write_text(json.dumps(raw))
     exp = load_experiment(
-        ["-c", str(cfgfile), "--lr", "0.001", "--bs", "4"], test=False
+        ["-c", str(cfgfile), "--lr", "0.001", "--bs", "4",
+         "--epochs", "7", "--schedule", "3,5"], test=False
     )
     assert exp.cfg.optimizer.lr == 0.001
     assert all(dl.batch_size == 4 for dl in exp.cfg.data_loaders)
+    # reference-CLI-parity overrides (args.py:141-143 -lr1/-sc semantics)
+    assert exp.cfg.trainer.epochs == 7
+    assert exp.cfg.optimizer.milestones == [3, 5]
     # experiment dirs created + config snapshot written
     assert exp.save_dir.exists()
     assert (exp.save_dir / "config.json").exists()
