@@ -263,7 +263,9 @@ class TrainerCfg:
     fwd_chunk: int = 0         # >0: remat-scan the tower forwards in chunks of
     # this size with the contrastive loss over the FULL batch — exact large-
     # batch negatives in bounded memory (vs accum_steps' micro-batch
-    # negatives); single-chip only, ~4/3 FLOPs (train/step.py loss_fn)
+    # negatives), ~4/3 FLOPs. Single chip, or a >1 data axis with replicated
+    # params (per-chip shard_map scan, GLOBAL-batch negatives) — see
+    # train/step.py loss_fn
     zero1: bool = False        # shard optimizer state over the data axis
     fsdp: bool = False         # ZeRO-3 analogue: params (+ their moments)
     # sharded over the data axis (GSPMD weight-gathered schedule); subsumes zero1

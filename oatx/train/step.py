@@ -75,6 +75,7 @@ def loss_fn(
     loss_cfg: LossConfig,
     batch: Dict[str, jnp.ndarray],
     fwd_chunk: Optional[int] = None,
+    mesh: Optional[Any] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """fwd_chunk: compute the per-sample tower outputs as lax.scan'd chunk-
     sized sub-batches with a remat'd body, then the loss over the FULL batch
@@ -84,13 +85,34 @@ def loss_fn(
     persist as scan residuals and bs=16 already overflows a 16 GB chip. Cost
     is the remat forward (~4/3 step FLOPs): measured 82 clips/s at bs=64 vs
     104 at bs=8 plain — trade throughput for 8x the negatives per update
-    (PERF.md round 3)."""
+    (PERF.md round 3).
+
+    mesh (with a >1 'data' axis) composes fwd_chunk with data parallelism:
+    the tower forwards run under jax.shard_map — each chip remat-scans its
+    OWN batch shard in chunk-sized pieces concurrently — and the reassembled
+    global embeddings feed the loss, so negatives still span the GLOBAL
+    batch. (A plain lax.scan over a data-sharded batch would serialize the
+    chips: scan slices the global leading dim, putting each iteration's chunk
+    on one device.) Per-chip memory is bounded at one chunk regardless of the
+    global batch — pod-scale large-batch contrastive pretraining. Requires
+    replicated params (pure DP: model_parallel=1, no fsdp/pipeline — the
+    Trainer gates this); param cotangents are psum'd by shard_map's
+    transpose."""
 
     def fwd(f, b):
-        if fwd_chunk:
-            return scan_chunked(jax.checkpoint(lambda mb: f(params, cfg, mb)),
-                                fwd_chunk)(b)
-        return f(params, cfg, b)
+        if not fwd_chunk:
+            return f(params, cfg, b)
+
+        def local(p, lb):
+            return scan_chunked(jax.checkpoint(lambda mb: f(p, cfg, mb)),
+                                fwd_chunk)(lb)
+
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import PartitionSpec as P
+
+            return jax.shard_map(local, mesh=mesh, in_specs=(P(), P("data")),
+                                 out_specs=P("data"), check_vma=False)(params, b)
+        return local(params, b)
 
     if cfg.variant == "baseline":
         text_e, video_e = fwd(towers.forward_baseline, batch)
@@ -158,6 +180,7 @@ def make_train_step(
     accum_steps: int = 1,
     skip_nonfinite: bool = False,
     fwd_chunk: Optional[int] = None,
+    mesh: Optional[Any] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. State is donated (params updated in place in
     HBM). Shard the batch over the mesh's data axis before calling. If `augment`
@@ -170,13 +193,14 @@ def make_train_step(
     batch — the loss value reflects micro-batch negatives, like training with a
     smaller batch at the same optimizer cadence.
 
-    fwd_chunk (single-chip batch scaling) computes the tower forwards as
-    remat'd chunk-sized scan iterations while the contrastive loss still spans
-    the FULL batch — exact large-batch negative semantics in bounded memory,
-    at ~4/3 the FLOPs (see loss_fn). Composes with neither accum_steps'
-    micro-batch negatives (they chunk the LOSS) nor a sharded data axis
-    (which already splits the batch dim) — the Trainer only enables it on a
-    1-wide data axis.
+    fwd_chunk computes the tower forwards as remat'd chunk-sized scan
+    iterations while the contrastive loss still spans the FULL batch — exact
+    large-batch negative semantics in bounded memory, at ~4/3 the FLOPs (see
+    loss_fn). With `mesh` (data axis > 1, replicated params) the scan runs
+    per-chip under shard_map and the loss spans the GLOBAL batch — per-chip
+    memory stays one chunk no matter the global batch. Does NOT compose with
+    accum_steps' micro-batch negatives (they chunk the LOSS) — the Trainer
+    rejects that combination.
 
     skip_nonfinite=True makes a step whose loss or gradients are non-finite a
     NO-OP (params, optimizer moments and the step counter keep their previous
@@ -188,7 +212,7 @@ def make_train_step(
 
     def grads_of(params, batch):
         return jax.value_and_grad(loss_fn, has_aux=True)(
-            params, cfg, loss_cfg, batch, fwd_chunk)
+            params, cfg, loss_cfg, batch, fwd_chunk, mesh)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         if augment is not None:

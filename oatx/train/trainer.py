@@ -248,12 +248,20 @@ class Trainer:
 
         self.augment = steplib.make_augmenter(train=True, tower_cfg=self.tower_cfg)
         fwd_chunk = getattr(t, "fwd_chunk", 0) or None
+        step_mesh = None  # mesh handed to the step ONLY for the shard_map path
         if fwd_chunk and self.mesh.shape.get("data", 1) > 1:
-            self.logger.warning(
-                "fwd_chunk=%d ignored: the %d-wide data axis already splits "
-                "the batch dim (see make_train_step)", fwd_chunk,
-                self.mesh.shape["data"])
-            fwd_chunk = None
+            # multi-chip fwd_chunk = per-chip remat-scan under shard_map with
+            # global-batch negatives (loss_fn). Needs replicated params: any
+            # sharded-param scheme would have to re-gather inside the manual
+            # region, so those configs keep the plain GSPMD step instead.
+            if t.model_parallel > 1 or t.fsdp or t.pipeline:
+                self.logger.warning(
+                    "fwd_chunk=%d ignored: shard_map fwd_chunk needs "
+                    "replicated params (model_parallel=1, no fsdp/pipeline)",
+                    fwd_chunk)
+                fwd_chunk = None
+            else:
+                step_mesh = self.mesh
         if fwd_chunk and t.accum_steps > 1:
             raise ValueError("fwd_chunk and accum_steps are mutually exclusive "
                              "(full-batch vs micro-batch negative semantics)")
@@ -261,7 +269,7 @@ class Trainer:
             self.tower_cfg, self.loss_cfg, self.optimizer,
             augment=self.augment, base_rng=jax.random.PRNGKey(t.seed + 1),
             accum_steps=t.accum_steps, skip_nonfinite=t.skip_nonfinite,
-            fwd_chunk=fwd_chunk)
+            fwd_chunk=fwd_chunk, mesh=step_mesh)
         eval_cfg = self.tower_cfg
         if t.pipeline and self.tower_cfg.video.pipeline_stages > 1:
             # eval batches are padded to the data axis, not to microbatch

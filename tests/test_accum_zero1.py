@@ -187,3 +187,26 @@ def test_fwd_chunk_variant_forward(tiny):
     l_chunk, _ = steplib.loss_fn(params, cfg, steplib.LossConfig(), batch,
                                  fwd_chunk=2)
     assert float(l_chunk) == pytest.approx(float(l_plain), rel=1e-5)
+
+
+def test_fwd_chunk_shard_map_matches_plain_gspmd_step(tiny):
+    """Multi-chip fwd_chunk: per-chip remat-scan under shard_map with GLOBAL-
+    batch negatives must match the plain GSPMD step — same loss, same raw
+    gradients — on an 8-wide data axis (pure DP, replicated params)."""
+    cfg, params, batch = tiny
+    mesh = meshlib.make_mesh(8)  # data=8, model=1
+    params_s = sharding.shard_params(mesh, params)
+    batch_s = meshlib.shard_batch(mesh, batch)  # local bs = 1 per device
+    lc = steplib.LossConfig()
+
+    def gfn(chunk, m):
+        return jax.jit(lambda p, b: jax.value_and_grad(
+            lambda q: steplib.loss_fn(q, cfg, lc, b, chunk, m)[0])(p))
+
+    (lA, gA) = gfn(None, None)(params_s, batch_s)
+    (lB, gB) = gfn(1, mesh)(params_s, batch_s)  # 1 sample/scan-iter per chip
+    assert float(lB) == pytest.approx(float(lA), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gA), jax.tree_util.tree_leaves(gB)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 5e-6 + 1e-4 * np.abs(a).max()
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)

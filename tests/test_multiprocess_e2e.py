@@ -35,7 +35,10 @@ def _free_port():
     return port
 
 
-def _launch(mode, nproc, out_path, extra=(), timeout=900):
+def _launch(mode, nproc, out_path, extra=(), timeout=1800):
+    # timeout sized for the WORST case on this 1-core VM: the full suite plus a
+    # concurrent TPU job once pushed the CLI-mode pair past 900 s (observed
+    # flake, round 3); isolation runs take ~370 s
     port = _free_port()
     procs = []
     for pid in range(nproc):

@@ -233,3 +233,19 @@ def test_clip_text_family_cli_train(tmp_path):
     finally:
         if env_bpe is not None:
             _os.environ["OATX_CLIP_BPE"] = env_bpe
+
+
+def test_fwd_chunk_multichip_trainer_e2e(tmp_path):
+    """trainer.fwd_chunk on the 8-wide data mesh takes the shard_map path
+    (per-chip remat-scan, global-batch negatives) through the real CLI."""
+    from oatx.cli.train import main
+
+    cfg = _smoke_config(tmp_path)
+    cfg["trainer"] = {**cfg["trainer"], "epochs": 1, "fwd_chunk": 1}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main(["-c", str(cfg_path), "--no_timestamp"])
+    assert rc == 0
+    save_dir = tmp_path / "exps" / "models" / "e2e"
+    meta = json.loads((save_dir / "model_best.meta.json").read_text())
+    assert np.isfinite(meta["monitor_best"])
