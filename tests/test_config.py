@@ -11,18 +11,18 @@ REF_CONFIG = "/root/reference/OATrans/configs/pt/cc3m_webvid/norm.json"
 
 
 def test_own_configs_parse():
-    for p in (
-        "configs/pt/cc3m_webvid/norm.json",
-        "configs/pt/cc3m_webvid/local_region_loss.json",
-        "configs/pt/webvid/region_mem.json",
-        "configs/ft/msrvtt/fine_tune/normal_1_cl.json",
-        "configs/ft/msrvtt/zsl/normal.json",
-    ):
-        cfg = ExperimentCfg.from_json(os.path.join("/root/repo", p))
-        assert cfg.arch.type == "FrozenInTime"
-        assert len(cfg.data_loaders) >= 1
-        tc = build_tower_config(cfg.arch)
-        assert tc.projection_dim == 256
+    import glob
+
+    paths = sorted(glob.glob("/root/repo/configs/**/*.json", recursive=True))
+    assert len(paths) >= 8  # every shipped config must stay parseable
+    for p in paths:
+        cfg = ExperimentCfg.from_json(p)
+        assert cfg.arch.type == "FrozenInTime", p
+        assert len(cfg.data_loaders) >= 1, p
+        build_tower_config(cfg.arch)
+    # reference experiments keep the reference's projection width
+    cfg = ExperimentCfg.from_json("/root/repo/configs/pt/cc3m_webvid/norm.json")
+    assert build_tower_config(cfg.arch).projection_dim == 256
 
 
 @pytest.mark.skipif(not os.path.exists(REF_CONFIG), reason="reference unavailable")
