@@ -207,6 +207,9 @@ class OptimizerCfg:
     grad_clip: Optional[float] = None
     milestones: List[int] = dataclasses.field(default_factory=lambda: [60, 80])
     gamma: float = 0.1
+    schedule: str = "step"     # step (reference) | cosine | constant
+    warmup_steps: int = 0      # linear 0→lr ramp prepended to the schedule
+    lr_min: float = 0.0        # cosine floor
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "OptimizerCfg":
@@ -218,6 +221,9 @@ class OptimizerCfg:
             grad_clip=args.get("grad_clip"),
             milestones=list(_get(args, "milestones", [60, 80])),
             gamma=float(_get(args, "gamma", 0.1)),
+            schedule=str(_get(args, "schedule", "step")),
+            warmup_steps=int(_get(args, "warmup_steps", 0)),
+            lr_min=float(_get(args, "lr_min", 0.0)),
         )
 
 

@@ -27,6 +27,46 @@ def step_decay_schedule(
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def make_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    total_epochs: int,
+    kind: str = "step",
+    milestones: Sequence[int] = (60, 80),
+    gamma: float = 0.1,
+    warmup_steps: int = 0,
+    lr_min: float = 0.0,
+) -> optax.Schedule:
+    """LR schedule factory (`optimizer.args.schedule`):
+
+      step     — the reference's epoch-milestone ×gamma decay
+                 (trainer_dist.py:117-122); the default.
+      cosine   — cosine from base_lr to lr_min over all remaining steps
+                 (beyond the reference; the standard recipe for large-batch
+                 contrastive pretraining, e.g. with trainer.fwd_chunk).
+      constant — flat base_lr.
+
+    warmup_steps > 0 prepends a linear 0→base_lr ramp (also beyond the
+    reference — large batches need it; it shifts the decay phase, not the
+    total step count)."""
+    total = max(int(total_epochs) * int(steps_per_epoch), 1)
+    if kind == "step":
+        main = step_decay_schedule(base_lr, steps_per_epoch, milestones, gamma)
+    elif kind == "cosine":
+        main = optax.cosine_decay_schedule(
+            base_lr, decay_steps=max(total - warmup_steps, 1),
+            alpha=(lr_min / base_lr if base_lr else 0.0))
+    elif kind == "constant":
+        main = optax.constant_schedule(base_lr)
+    else:
+        raise ValueError(f"unknown LR schedule {kind!r} "
+                         "(expected step|cosine|constant)")
+    if warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, base_lr, warmup_steps)
+        return optax.join_schedules([warm, main], [warmup_steps])
+    return main
+
+
 def make_optimizer(
     lr: float | optax.Schedule = 2e-4,
     weight_decay: float = 0.01,

@@ -134,9 +134,12 @@ class Trainer:
         self.cycles_per_epoch = max(1, n_cycles)
         steps_per_epoch = self.cycles_per_epoch * steps_per_cycle
 
-        schedule = optimlib.step_decay_schedule(
-            exp.optimizer.lr, steps_per_epoch, exp.optimizer.milestones,
-            exp.optimizer.gamma)
+        schedule = optimlib.make_schedule(
+            exp.optimizer.lr, steps_per_epoch, t.epochs,
+            kind=exp.optimizer.schedule,
+            milestones=exp.optimizer.milestones, gamma=exp.optimizer.gamma,
+            warmup_steps=exp.optimizer.warmup_steps,
+            lr_min=exp.optimizer.lr_min)
         tf = optimlib.linear_probe_filter if linear_eval else None
         if self.tower_cfg.object_tower is not None:
             # the object NCE term only fires when batches CARRY object
