@@ -140,6 +140,7 @@ class Trainer:
             milestones=exp.optimizer.milestones, gamma=exp.optimizer.gamma,
             warmup_steps=exp.optimizer.warmup_steps,
             lr_min=exp.optimizer.lr_min)
+        self.lr_schedule = schedule  # re-evaluated host-side for logging only
         tf = optimlib.linear_probe_filter if linear_eval else None
         if self.tower_cfg.object_tower is not None:
             # the object NCE term only fires when batches CARRY object
@@ -425,6 +426,12 @@ class Trainer:
                 loss = float(metrics["loss"])  # forces the chain (axon-safe timing)
                 self.writer.set_step((epoch - 1) * self.cycles_per_epoch + cycles_done)
                 self.writer.add_scalar(f"loss_train_{loader_idx}", loss)
+                # scheduled LR at the current optimizer step (host-side count:
+                # no device sync; resume-correct via cycles_done, off by at
+                # most a cycle's worth of steps + any skip_nonfinite no-ops)
+                opt_step = ((epoch - 1) * self.cycles_per_epoch + cycles_done
+                            ) * len(self.train_loaders)
+                self.writer.add_scalar("lr", float(self.lr_schedule(opt_step)))
                 self.logger.info(
                     "Train Epoch: %d %d/%d Loss[%d]: %.6f (%.2fs)",
                     epoch, cycles_done, self.cycles_per_epoch, loader_idx, loss,
