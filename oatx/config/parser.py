@@ -23,16 +23,23 @@ from oatx.config.schema import ExperimentCfg
 
 CustomArg = Tuple[Sequence[str], type, Sequence[str]]  # (flags, type, key_path)
 
-def _int_list(s: str) -> List[int]:
-    """'60,80' → [60, 80] (reference -sc/--schedule format, args.py:142)."""
-    return [int(x) for x in s.replace("[", "").replace("]", "").split(",") if x]
+def _schedule_arg(s: str):
+    """--schedule accepts BOTH meanings of 'schedule': an int list '60,80'
+    (the reference -sc decay milestones, args.py:142 → optimizer.args.
+    milestones) or a schedule-kind name 'cosine' (→ optimizer.args.schedule).
+    _set_by_path routes on the returned type (see the override loop)."""
+    body = s.replace("[", "").replace("]", "")
+    try:
+        return [int(x) for x in body.split(",") if x]
+    except ValueError:
+        return s
 
 
 DEFAULT_CUSTOM_ARGS: List[CustomArg] = [
     (("--lr", "--learning_rate"), float, ("optimizer", "args", "lr")),
     (("--bs", "--batch_size"), int, ("data_loader", "args", "batch_size")),
     (("--epochs",), int, ("trainer", "epochs")),
-    (("--schedule",), _int_list, ("optimizer", "args", "milestones")),
+    (("--schedule",), _schedule_arg, ("optimizer", "args", "milestones")),
 ]
 
 
@@ -108,6 +115,8 @@ def load_experiment(
         name = next(f for f in flags if f.startswith("--")).lstrip("-").replace("-", "_")
         value = getattr(args, name, None)
         if value is not None:
+            if name == "schedule" and isinstance(value, str):
+                keypath = ("optimizer", "args", "schedule")  # kind, not milestones
             _set_by_path(raw, list(keypath), value)
     if args.save_dir is not None:
         raw.setdefault("trainer", {})["save_dir"] = args.save_dir

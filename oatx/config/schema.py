@@ -214,6 +214,11 @@ class OptimizerCfg:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "OptimizerCfg":
         args = _get(d, "args", {})
+        if isinstance(_get(args, "schedule", "step"), (list, tuple)):
+            raise ValueError(
+                "optimizer.args.schedule is the schedule KIND "
+                "(step|cosine|constant); decay epochs go in "
+                "optimizer.args.milestones")
         return cls(
             type=_get(d, "type", "AdamW"),
             lr=float(_get(args, "lr", 2e-4)),

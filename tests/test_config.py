@@ -70,6 +70,31 @@ def test_cli_overrides(tmp_path):
     assert snap["optimizer"]["args"]["lr"] == 0.001
 
 
+def test_schedule_override_kind(tmp_path):
+    """--schedule accepts a kind name too ('cosine'), routed to
+    optimizer.args.schedule instead of milestones."""
+    cfgfile = tmp_path / "c.json"
+    with open("/root/repo/configs/pt/cc3m_webvid/norm.json") as f:
+        raw = json.load(f)
+    raw["trainer"]["save_dir"] = str(tmp_path / "exps")
+    cfgfile.write_text(json.dumps(raw))
+    exp = load_experiment(
+        ["-c", str(cfgfile), "--schedule", "cosine"], test=False)
+    assert exp.cfg.optimizer.schedule == "cosine"
+    # milestones untouched by the kind-name form
+    assert exp.cfg.optimizer.milestones == raw["optimizer"]["args"].get(
+        "milestones", exp.cfg.optimizer.milestones)
+
+
+def test_schedule_key_rejects_list():
+    """Putting decay epochs in optimizer.args.schedule (the kind key) is a
+    config error with a pointed message, not a silent misparse."""
+    from oatx.config.schema import OptimizerCfg
+    with pytest.raises(ValueError, match="milestones"):
+        OptimizerCfg.from_dict(
+            {"type": "AdamW", "args": {"lr": 1e-4, "schedule": [60, 80]}})
+
+
 def test_config_required():
     with pytest.raises(SystemExit):
         load_experiment([], test=True)
