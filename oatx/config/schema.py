@@ -47,6 +47,8 @@ class VideoParamsCfg:
     num_heads: Optional[int] = None
     remat: bool = False
     sequence_parallel: bool = False  # shard token axis over the model mesh axis
+    split_cls_stream: Optional[bool] = None  # None → library default
+    # (vit_spacetime.SpaceTimeViTConfig.split_cls_stream)
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "VideoParamsCfg":
@@ -63,6 +65,7 @@ class VideoParamsCfg:
             num_heads=d.get("num_heads"),
             remat=bool(_get(d, "remat", False)),
             sequence_parallel=bool(_get(d, "sequence_parallel", False)),
+            split_cls_stream=d.get("split_cls_stream"),
         )
 
 
@@ -362,6 +365,8 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
         time_init=vp.time_init,
         remat=vp.remat,
         sequence_parallel=vp.sequence_parallel,
+        **({} if vp.split_cls_stream is None
+           else {"split_cls_stream": vp.split_cls_stream}),
     )
     tp = arch.text_params
     if tp.family == "clip":

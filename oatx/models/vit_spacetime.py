@@ -77,6 +77,14 @@ class SpaceTimeViTConfig:
     # per chip; XLA inserts the all-gather/reduce-scatter pairs around the TP
     # matmuls). Memory lever for long token counts (16-frame clips = 3137
     # tokens); numerically identical (tests/test_sharding_rules.py).
+    split_cls_stream: bool = False    # carry the residual stream as a PAIR
+    # (patches (B, F·N, D), CLS (B, 1, D)) instead of one (B, 1+F·N, D)
+    # tensor: the per-attention patch slice and output [patches, cls] concat
+    # structurally never exist (~7 ms of the 77 ms bs=8 train step in the
+    # round-3 per-source-line trace; tower fwd+bwd measured 8.4% faster —
+    # PERF.md round 3). Numerics match the fused stream (logit key order is
+    # preserved); falls back to the fused path under pipeline parallelism
+    # and fused_qkv (see apply()).
     fused_mlp: bool = True            # fused LN→fc1→GELU→fc2 (ops/pallas/ln_mlp):
     # measured 1.18× on fwd+bwd at ViT-B shapes on the dev chip (PERF.md round
     # 2 — the win is the leaner custom VJP; fwd alone is matmul-bound). The
@@ -174,14 +182,45 @@ def _block_apply(cfg: SpaceTimeViTConfig, bp: Params, x: jnp.ndarray, f: int) ->
     return r + mlp(bp["mlp"], layer_norm(bp["norm2"], r, LN_EPS))
 
 
+def _block_apply_split(
+    cfg: SpaceTimeViTConfig, bp: Params, xp: jnp.ndarray, xc: jnp.ndarray, f: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """_block_apply over the split (patches, CLS) residual stream — identical
+    wiring, no slice/concat around the attention calls. The CLS stream's MLP
+    runs the plain XLA path (B rows; a Pallas call would cost more than the
+    matmul) while the patch stream keeps the fused LN→MLP kernel."""
+    from oatx.ops.attention import divided_attention_split
+
+    tp, tc = divided_attention_split(
+        bp["timeattn"], layer_norm(bp["norm3"], xp, LN_EPS),
+        layer_norm(bp["norm3"], xc, LN_EPS), cfg.num_heads, f, mode="time")
+    up, uc = xp + tp, xc + tc
+    sp, sc = divided_attention_split(
+        bp["attn"], layer_norm(bp["norm1"], up, LN_EPS),
+        layer_norm(bp["norm1"], uc, LN_EPS), cfg.num_heads, f, mode="space")
+    rp, rc = xp + sp, xc + sc  # frozen-in-time style: residual from block input
+    if cfg.fused_mlp:
+        from oatx.ops.pallas.ln_mlp import ln_mlp
+
+        rp = rp + ln_mlp(bp["norm2"], bp["mlp"], rp, LN_EPS)
+    else:
+        rp = rp + mlp(bp["mlp"], layer_norm(bp["norm2"], rp, LN_EPS))
+    rc = rc + mlp(bp["mlp"], layer_norm(bp["norm2"], rc, LN_EPS))
+    return rp, rc
+
+
 def _patches(cfg: SpaceTimeViTConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Patch-token rows of x in frame-major order (cls_position-aware)."""
     return x[:, 1:] if cfg.cls_position == "first" else x[:, :-1]
 
 
-def embed(params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
-    """video (B, F, H, W, C) NHWC → embedded tokens (B, 1+F·N, D) with pos/temporal
-    embeddings added (reference forward_features, video_transformer.py:303-325)."""
+def embed_split(
+    params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """video (B, F, H, W, C) NHWC → (patch tokens (B, F·N, D), CLS (B, 1, D))
+    with pos/temporal embeddings added (reference forward_features,
+    video_transformer.py:303-325). The streams stay separate (split_cls_stream)
+    or are concatenated by `embed` for the fused path."""
     b, f, hh, ww, c = video.shape
     assert f <= cfg.num_frames, f"{f} frames > configured max {cfg.num_frames}"
     n = cfg.patches_per_frame
@@ -198,13 +237,15 @@ def embed(params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray) -> Tuple[
         params["temporal_embed"].astype(tokens.dtype), n, axis=1
     )
     patch_pos = (tile_pos + tile_temporal)[:, : f * n]
-    if cfg.cls_position == "first":
-        x = jnp.concatenate([cls, tokens], axis=1)
-        total = jnp.concatenate([cls_pos, patch_pos], axis=1)
-    else:
-        x = jnp.concatenate([tokens, cls], axis=1)
-        total = jnp.concatenate([patch_pos, cls_pos], axis=1)
-    return x + total, f
+    return tokens + patch_pos, cls + cls_pos, f
+
+
+def embed(params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """video (B, F, H, W, C) NHWC → embedded tokens (B, 1+F·N, D) in
+    cfg.cls_position token order (fused-stream path)."""
+    xp, xc, f = embed_split(params, cfg, video)
+    parts = [xc, xp] if cfg.cls_position == "first" else [xp, xc]
+    return jnp.concatenate(parts, axis=1), f
 
 
 def _sp_constrain(cfg: SpaceTimeViTConfig, x: jnp.ndarray) -> jnp.ndarray:
@@ -234,6 +275,10 @@ def apply(
       region  — (B, F·N, D) layer-K patch tokens through region_norm
                  (only when cfg.region_tap_layer is set)
     """
+    if (cfg.split_cls_stream and cfg.pipeline_stages == 1
+            and not cfg.fused_qkv):
+        return _apply_split(params, cfg, video)
+
     x, f = embed(params, cfg, video)
     x = _sp_constrain(cfg, x)
 
@@ -290,6 +335,62 @@ def apply(
         pooled = cls
     elif cfg.pooling == "cls_mean_half":
         # global-local variant (oa_video_transformer_global_local.py:356)
+        pooled = 0.5 * cls + 0.5 * jnp.mean(patches, axis=1)
+    else:
+        raise ValueError(f"unknown pooling {cfg.pooling!r}")
+    out["cls"] = pooled
+    out["patches"] = patches
+    return out
+
+
+def _apply_split(
+    params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """apply() over the split (patches, CLS) residual stream — same outputs.
+
+    Used when cfg.split_cls_stream is set and no fused-stream-only feature
+    (pipeline parallelism, fused_qkv) is active. Sequence parallelism
+    constrains the patch stream's token axis exactly as the fused path does;
+    the (B, 1, D) CLS stream follows batch sharding."""
+    xp, xc, f = embed_split(params, cfg, video)
+    xp = _sp_constrain(cfg, xp)
+
+    def block(bp, sp, sc):
+        rp, rc = _block_apply_split(cfg, bp, sp, sc, f)
+        return _sp_constrain(cfg, rp), rc
+
+    if cfg.remat:
+        policy = None
+        if cfg.remat_policy == "dots":
+            policy = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+        block = jax.checkpoint(block, policy=policy)
+
+    out: Dict[str, jnp.ndarray] = {}
+    k = cfg.region_tap_layer
+    if cfg.scan_blocks:
+        def scan_body(carry, bp):
+            return block(bp, *carry), None
+
+        if k is None:
+            (xp, xc), _ = jax.lax.scan(scan_body, (xp, xc), params["blocks"])
+        else:
+            head = jax.tree_util.tree_map(lambda a: a[:k], params["blocks"])
+            tail = jax.tree_util.tree_map(lambda a: a[k:], params["blocks"])
+            (xp, xc), _ = jax.lax.scan(scan_body, (xp, xc), head)
+            out["region"] = layer_norm(params["region_norm"], xp, LN_EPS)
+            (xp, xc), _ = jax.lax.scan(scan_body, (xp, xc), tail)
+    else:
+        for i in range(cfg.depth):
+            bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+            xp, xc = block(bp, xp, xc)
+            if k is not None and i == k - 1:
+                out["region"] = layer_norm(params["region_norm"], xp, LN_EPS)
+
+    cls = layer_norm(params["norm"], xc, LN_EPS)[:, 0]
+    patches = layer_norm(params["norm"], xp, LN_EPS)
+    if cfg.pooling == "cls":
+        pooled = cls
+    elif cfg.pooling == "cls_mean_half":
         pooled = 0.5 * cls + 0.5 * jnp.mean(patches, axis=1)
     else:
         raise ValueError(f"unknown pooling {cfg.pooling!r}")

@@ -202,6 +202,94 @@ def divided_attention(
     return linear(params["proj"], full)
 
 
+def divided_attention_split(
+    params: Params,
+    xp: jnp.ndarray,
+    xc: jnp.ndarray,
+    num_heads: int,
+    num_frames: int,
+    mode: str,
+):
+    """One VarAttention pass over a SPLIT residual stream (TPU layout win).
+
+    xp: (B, F·N, D) patch tokens, xc: (B, 1, D) CLS — the same math as
+    `divided_attention` (reference VarAttention,
+    /root/reference/OATrans/model/video_transformer.py:79-135), but with the
+    CLS token carried as its own tensor so the patch slice (q[:, 1:] /
+    q[:, :-1]) and the output [patches, cls] concatenate structurally never
+    exist. Per-source-line trace attribution measured those ops at ~7 ms of
+    the 77 ms bs=8 train step; the split tower runs the 12-block fwd+bwd
+    8.4% faster (PERF.md round 3 "Split-stream residual").
+
+    Head tensors keep the legacy (B, T, H, Dh) physical layout and einsum
+    orders (this is NOT the rejected nminor relayout). The CLS row's softmax
+    runs over a [patch-logits, cls-logit] concat in the legacy
+    cls_position='last' key order, so logits match the fused path
+    elementwise. Returns (yp, yc).
+    """
+    b, pn, d = xp.shape
+    f = num_frames
+    n = pn // f
+    assert f * n == pn, f"patch count {pn} incompatible with {f} frames"
+    h = num_heads
+    dh = d // h
+
+    qp, kp, vp = _qkv(params, xp, h)   # (B, P, H, Dh), q pre-scaled
+    qc, kc, vc = _qkv(params, xc, h)   # (B, 1, H, Dh)
+
+    # CLS row: attends over every token. Two einsums + a (B, H, 1, P+1) logit
+    # concat (tiny) replace the full-stream einsum; key order = legacy 'last'.
+    cl_p = jnp.einsum("bqhd,bkhd->bhqk", qc, kp, preferred_element_type=jnp.float32)
+    cl_c = jnp.einsum("bqhd,bkhd->bhqk", qc, kc, preferred_element_type=jnp.float32)
+    cp = _softmax_f32(jnp.concatenate([cl_p, cl_c], axis=-1), xp.dtype)
+    cls_out = (
+        jnp.einsum("bhqk,bkhd->bqhd", cp[..., :pn], vp,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("bhqk,bkhd->bqhd", cp[..., pn:], vc,
+                     preferred_element_type=jnp.float32)
+    ).astype(xp.dtype)                                     # (B, 1, H, Dh)
+
+    if mode == "space":
+        # groups = frames; keys = [CLS] + frame patches (reference concat order)
+        qg = qp.reshape(b, f, n, h, dh)
+        kg = jnp.concatenate(
+            [jnp.broadcast_to(kc[:, None], (b, f, 1, h, dh)),
+             kp.reshape(b, f, n, h, dh)], axis=2)
+        vg = jnp.concatenate(
+            [jnp.broadcast_to(vc[:, None], (b, f, 1, h, dh)),
+             vp.reshape(b, f, n, h, dh)], axis=2)
+        logits = jnp.einsum("bfqhd,bfkhd->bfhqk", qg, kg,
+                            preferred_element_type=jnp.float32)
+        p = _softmax_f32(logits, xp.dtype)
+        out = jnp.einsum("bfhqk,bfkhd->bfqhd", p, vg,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(xp.dtype).reshape(b, pn, h, dh)
+    elif mode == "time":
+        # groups = patch positions, N-minor tiling (see the legacy branch's
+        # layout note); keys = [CLS] + same-position frames.
+        qn = qp.reshape(b, f, n, h, dh).transpose(0, 3, 4, 1, 2)  # (B,H,Dh,F,N)
+        kn = kp.reshape(b, f, n, h, dh).transpose(0, 3, 4, 1, 2)
+        vn = vp.reshape(b, f, n, h, dh).transpose(0, 3, 4, 1, 2)
+        cls_kn = jnp.broadcast_to(
+            kc[:, 0][..., None], (b, h, dh, n))[:, :, :, None, :]
+        cls_vn = jnp.broadcast_to(
+            vc[:, 0][..., None], (b, h, dh, n))[:, :, :, None, :]
+        kg = jnp.concatenate([cls_kn, kn], axis=3)  # (B, H, Dh, F+1, N)
+        vg = jnp.concatenate([cls_vn, vn], axis=3)
+        logits = jnp.sum(
+            qn[:, :, :, :, None, :].astype(jnp.float32)
+            * kg[:, :, :, None, :, :].astype(jnp.float32), axis=2)
+        p = jax.nn.softmax(logits, axis=-2).astype(xp.dtype)  # over k
+        out = jnp.sum(p[:, :, None] * vg[:, :, :, None], axis=4)  # (B,H,Dh,F,N)
+        out = out.transpose(0, 3, 4, 1, 2).reshape(b, pn, h, dh)
+    else:
+        raise ValueError(f"mode must be 'space' or 'time', got {mode!r}")
+
+    yp = linear(params["proj"], out.reshape(b, pn, d))
+    yc = linear(params["proj"], cls_out.reshape(b, 1, d))
+    return yp, yc
+
+
 def _divided_attention_nminor(
     params: Params, x: jnp.ndarray, h: int, f: int, n: int, mode: str,
     first: bool = True,
