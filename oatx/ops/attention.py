@@ -40,6 +40,18 @@ _USE_PALLAS: Optional[bool] = None
 # slower native-order qkv dot; legacy stays the default.
 _LAYOUT: str = "legacy"
 
+# split-stream CLS merge style: 'concat' (group keys = [CLS] + patches
+# concatenated, reference order) or 'stream' (no key/value concats — the CLS
+# key's softmax contribution is merged analytically via a two-part streaming
+# softmax). Same math; A/B'd on the dev chip via tools/exp_step_time.py.
+_SPLIT_MERGE: str = "concat"
+
+
+def set_split_merge(value: str) -> None:
+    assert value in ("concat", "stream")
+    global _SPLIT_MERGE
+    _SPLIT_MERGE = value
+
 
 def set_layout(value: str) -> None:
     assert value in ("legacy", "nminor")
@@ -236,20 +248,70 @@ def divided_attention_split(
 
     qp, kp, vp = _qkv(params, xp, h)   # (B, P, H, Dh), q pre-scaled
     qc, kc, vc = _qkv(params, xc, h)   # (B, 1, H, Dh)
+    stream = _SPLIT_MERGE == "stream"
 
     # CLS row: attends over every token. Two einsums + a (B, H, 1, P+1) logit
     # concat (tiny) replace the full-stream einsum; key order = legacy 'last'.
     cl_p = jnp.einsum("bqhd,bkhd->bhqk", qc, kp, preferred_element_type=jnp.float32)
     cl_c = jnp.einsum("bqhd,bkhd->bhqk", qc, kc, preferred_element_type=jnp.float32)
-    cp = _softmax_f32(jnp.concatenate([cl_p, cl_c], axis=-1), xp.dtype)
-    cls_out = (
-        jnp.einsum("bhqk,bkhd->bqhd", cp[..., :pn], vp,
-                   preferred_element_type=jnp.float32)
-        + jnp.einsum("bhqk,bkhd->bqhd", cp[..., pn:], vc,
-                     preferred_element_type=jnp.float32)
-    ).astype(xp.dtype)                                     # (B, 1, H, Dh)
+    if stream:
+        m = jnp.maximum(jnp.max(cl_p, axis=-1, keepdims=True), cl_c)
+        e_p = jnp.exp(cl_p - m)
+        e_c = jnp.exp(cl_c - m)
+        z = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
+        cls_out = (
+            jnp.einsum("bhqk,bkhd->bqhd", (e_p / z).astype(xp.dtype), vp,
+                       preferred_element_type=jnp.float32)
+            + (e_c / z).transpose(0, 2, 1, 3) * vc.astype(jnp.float32)
+        ).astype(xp.dtype)
+    else:
+        cp = _softmax_f32(jnp.concatenate([cl_p, cl_c], axis=-1), xp.dtype)
+        cls_out = (
+            jnp.einsum("bhqk,bkhd->bqhd", cp[..., :pn], vp,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bhqk,bkhd->bqhd", cp[..., pn:], vc,
+                         preferred_element_type=jnp.float32)
+        ).astype(xp.dtype)                                 # (B, 1, H, Dh)
 
-    if mode == "space":
+    if mode == "space" and stream:
+        # no key/value concat: group softmax over patch keys with the CLS
+        # key's contribution merged analytically (two-part streaming softmax)
+        qg = qp.reshape(b, f, n, h, dh)
+        kg = kp.reshape(b, f, n, h, dh)
+        vg = vp.reshape(b, f, n, h, dh)
+        lg = jnp.einsum("bfqhd,bfkhd->bfhqk", qg, kg,
+                        preferred_element_type=jnp.float32)  # (B,F,H,N,N)
+        lc = jnp.einsum("bfqhd,bhd->bfhq", qg, kc[:, 0],
+                        preferred_element_type=jnp.float32)[..., None]
+        m = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True), lc)
+        e_g = jnp.exp(lg - m)
+        e_c = jnp.exp(lc - m)
+        z = jnp.sum(e_g, axis=-1, keepdims=True) + e_c
+        out = jnp.einsum("bfhqk,bfkhd->bfqhd", (e_g / z).astype(xp.dtype), vg,
+                         preferred_element_type=jnp.float32)
+        out = out + (e_c / z).transpose(0, 1, 3, 2, 4) * \
+            vc[:, None].astype(jnp.float32)
+        out = out.astype(xp.dtype).reshape(b, pn, h, dh)
+    elif mode == "time" and stream:
+        qn = qp.reshape(b, f, n, h, dh).transpose(0, 3, 4, 1, 2)  # (B,H,Dh,F,N)
+        kn = kp.reshape(b, f, n, h, dh).transpose(0, 3, 4, 1, 2)
+        vn = vp.reshape(b, f, n, h, dh).transpose(0, 3, 4, 1, 2)
+        lg = jnp.sum(
+            qn[:, :, :, :, None, :].astype(jnp.float32)
+            * kn[:, :, :, None, :, :].astype(jnp.float32), axis=2)  # (B,H,F,F,N)
+        lc = jnp.einsum("bhdqn,bhd->bhqn", qn, kc[:, 0],
+                        preferred_element_type=jnp.float32)[:, :, :, None, :]
+        m = jnp.maximum(jnp.max(lg, axis=3, keepdims=True), lc)    # (B,H,F,1,N)
+        e_g = jnp.exp(lg - m)
+        e_c = jnp.exp(lc - m)
+        z = jnp.sum(e_g, axis=3, keepdims=True) + e_c
+        pg = (e_g / z).astype(xp.dtype)
+        out = jnp.sum(pg[:, :, None] * vn[:, :, :, None], axis=4)  # (B,H,Dh,F,N)
+        pc = (e_c / z)[:, :, :, 0, :]                              # (B,H,F,N)
+        out = out + pc[:, :, None] * \
+            vc[:, 0][:, :, :, None, None].astype(jnp.float32)
+        out = out.astype(xp.dtype).transpose(0, 3, 4, 1, 2).reshape(b, pn, h, dh)
+    elif mode == "space":
         # groups = frames; keys = [CLS] + frame patches (reference concat order)
         qg = qp.reshape(b, f, n, h, dh)
         kg = jnp.concatenate(

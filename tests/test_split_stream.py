@@ -7,14 +7,13 @@ in f32 on the CPU mesh, where any semantic divergence shows up far above
 floating-point noise.
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from oatx.models import vit_spacetime as vst
+from oatx.ops import attention as attn_mod
 
 BASE = dict(img_size=32, patch_size=16, embed_dim=64, depth=3, num_heads=4,
             num_frames=4, time_init="random")
@@ -29,6 +28,13 @@ def _video(f=4, b=2, res=32, seed=0):
     return jnp.asarray(rng.standard_normal((b, f, res, res, 3)), jnp.float32)
 
 
+@pytest.fixture(params=["concat", "stream"])
+def split_merge(request):
+    attn_mod.set_split_merge(request.param)
+    yield request.param
+    attn_mod.set_split_merge("concat")
+
+
 @pytest.mark.parametrize("variant_kw,frames", [
     ({}, 4),
     ({}, 1),                                           # image degenerate path
@@ -37,7 +43,7 @@ def _video(f=4, b=2, res=32, seed=0):
     ({"scan_blocks": True}, 4),
     ({"remat": True}, 4),
 ])
-def test_split_stream_matches_fused(variant_kw, frames):
+def test_split_stream_matches_fused(variant_kw, frames, split_merge):
     cfg_f = _mk(False, **variant_kw)
     cfg_s = _mk(True, **variant_kw)
     params = vst.init(jax.random.PRNGKey(0), cfg_f)
@@ -49,10 +55,10 @@ def test_split_stream_matches_fused(variant_kw, frames):
     for key in out_f:
         np.testing.assert_allclose(
             np.asarray(out_f[key]), np.asarray(out_s[key]),
-            rtol=2e-5, atol=2e-5, err_msg=key)
+            rtol=2e-5, atol=2e-5, err_msg=f"{key} merge={split_merge}")
 
 
-def test_split_stream_grad_parity():
+def test_split_stream_grad_parity(split_merge):
     cfg_f = _mk(False)
     cfg_s = _mk(True)
     params = vst.init(jax.random.PRNGKey(1), cfg_f)

@@ -1,6 +1,7 @@
 """A/B harness: full flagship train-step time under attention layout variants.
 
-Usage: python tools/exp_step_time.py <legacy|nminor> <first|last> [batch]
+Usage: python tools/exp_step_time.py <legacy|nminor|split> <first|last> [batch]
+('split' = split_cls_stream residual pair; cls_pos arg is ignored there.)
 Prints one line: variant, ms/step, clips/s. (Relay-safe timing: scalar fetch.)
 """
 
@@ -24,7 +25,8 @@ def main():
     cls_pos = sys.argv[2] if len(sys.argv) > 2 else "first"
     bs = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
-    A.set_layout(layout)
+    split = layout == "split"
+    A.set_layout("legacy" if split else layout)
     rng = np.random.default_rng(0)
     batch = {
         "video": jnp.asarray(rng.standard_normal((bs, 4, 224, 224, 3)), jnp.bfloat16),
@@ -33,7 +35,8 @@ def main():
     }
     cfg = towers.TowerConfig(
         video=vst.SpaceTimeViTConfig(num_frames=4, time_init="zeros",
-                                     cls_position=cls_pos),
+                                     cls_position=cls_pos,
+                                     split_cls_stream=split),
         text=dbert.DistilBertConfig(), projection_dim=256,
         variant="baseline", compute_dtype=jnp.bfloat16)
     optimizer = optim.make_optimizer(lr=2e-4)
