@@ -35,7 +35,14 @@ def _free_port():
     return port
 
 
-def _launch(mode, nproc, out_path, extra=(), timeout=1800):
+# A starved worker can miss Gloo's fixed 30 s key-value rendezvous deadline on
+# this 1-core VM (observed once under a concurrent TPU-compile job, round 3).
+# That is scheduler starvation, not a code path under test — retry ONCE on this
+# exact signature only; any other failure (or a second timeout) still fails.
+_GLOO_FLAKE = "Gloo context initialization failed: DEADLINE_EXCEEDED"
+
+
+def _launch(mode, nproc, out_path, extra=(), timeout=1800, _retried=False):
     # timeout sized for the WORST case on this 1-core VM: the full suite plus a
     # concurrent TPU job once pushed the CLI-mode pair past 900 s (observed
     # flake, round 3); isolation runs take ~370 s
@@ -66,6 +73,9 @@ def _launch(mode, nproc, out_path, extra=(), timeout=1800):
             fail = (pid, p.returncode, out)
     if fail is not None:
         pid, rc, out = fail
+        if not _retried and any(_GLOO_FLAKE in o for o in outs):
+            return _launch(mode, nproc, out_path, extra=extra, timeout=timeout,
+                           _retried=True)
         raise AssertionError(
             f"worker {pid}/{nproc} exited {rc}:\n{out[-4000:]}")
     with open(out_path) as f:

@@ -1,7 +1,8 @@
 """A/B harness: full flagship train-step time under attention layout variants.
 
-Usage: python tools/exp_step_time.py <legacy|nminor|split> <first|last> [batch]
-('split' = split_cls_stream residual pair; cls_pos arg is ignored there.)
+Usage: python tools/exp_step_time.py <legacy|nminor|split|split2> <first|last> [batch]
+('split' = split_cls_stream residual pair, concat CLS merge; 'split2' = the
+same with the concat-free streaming merge; cls_pos arg is ignored for both.)
 Prints one line: variant, ms/step, clips/s. (Relay-safe timing: scalar fetch.)
 """
 
@@ -25,8 +26,10 @@ def main():
     cls_pos = sys.argv[2] if len(sys.argv) > 2 else "first"
     bs = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
-    split = layout == "split"
+    split = layout in ("split", "split2")
     A.set_layout("legacy" if split else layout)
+    if layout == "split2":
+        A.set_split_merge("stream")
     rng = np.random.default_rng(0)
     batch = {
         "video": jnp.asarray(rng.standard_normal((bs, 4, 224, 224, 3)), jnp.bfloat16),
