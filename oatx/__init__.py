@@ -25,3 +25,16 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("OATX_PLATFORM"):
+    # Explicit platform pin (e.g. OATX_PLATFORM=cpu for hermetic subprocesses).
+    # Needed because JAX_PLATFORMS alone cannot force CPU in this environment:
+    # the axon sitecustomize's register() overrides the platform selection via
+    # jax.config at import time (observed as "CPU" test subprocesses silently
+    # running on the relay TPU, and hanging when the relay is down). An env
+    # var honored in-code is the only override that survives that.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["OATX_PLATFORM"])

@@ -30,6 +30,7 @@ def test_dryrun_multichip_runs_in_driver_like_env():
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"  # don't grab the real TPU from inside tests
+    env["OATX_PLATFORM"] = "cpu"  # in-code pin; JAX_PLATFORMS alone is overridden by the axon sitecustomize
     env.pop("XLA_FLAGS", None)  # driver env has no virtual-mesh flag
     out = subprocess.run(
         [sys.executable, "-c",

@@ -198,6 +198,7 @@ def test_full_pipeline_rank_parity(pipeline_root, torch_models, tmp_path):
     sims_path = tmp_path / "sims.npy"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["OATX_PLATFORM"] = "cpu"  # in-code pin; JAX_PLATFORMS alone is overridden by the axon sitecustomize
     out = subprocess.run(
         [sys.executable, "-m", "oatx.cli.test", "-c", str(cfg_path),
          "--sims_out", str(sims_path)],

@@ -200,6 +200,7 @@ def test_eval_cli_over_msrvtt_fixture(msrvtt_root, tmp_path):
     cfg_path.write_text(json.dumps(cfg))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["OATX_PLATFORM"] = "cpu"  # in-code pin; JAX_PLATFORMS alone is overridden by the axon sitecustomize
     out = subprocess.run(
         [sys.executable, "-m", "oatx.cli.test", "-c", str(cfg_path)],
         capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1800)

@@ -40,6 +40,7 @@ def test_validate_checkpoint_tool(tmp_path):
     out_json = tmp_path / "manifest.json"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["OATX_PLATFORM"] = "cpu"  # in-code pin; JAX_PLATFORMS alone is overridden by the axon sitecustomize
     out = subprocess.run(
         [sys.executable, "tools/validate_checkpoint.py", "--ckpt", str(pth),
          "--num-frames", "2", "--img-size", "112", "--embed-dim", "128",

@@ -123,6 +123,7 @@ def test_eval_cli_global_local(tmp_path):
     p.write_text(_json.dumps(cfg))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["OATX_PLATFORM"] = "cpu"  # in-code pin; JAX_PLATFORMS alone is overridden by the axon sitecustomize
     out = subprocess.run(
         [sys.executable, "-m", "oatx.cli.test", "-c", str(p), "--split", "train"],
         capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1800)
