@@ -288,6 +288,10 @@ class TrainerCfg:
     pipeline_microbatches: int = 4
     cycle_shorter: bool = False  # wrap shorter loaders instead of truncating
     skip_nonfinite: bool = False  # non-finite loss/grad step = no-op (crash-free)
+    async_checkpoint: bool = False  # commit periodic/best snapshots in a
+    # background thread (Orbax AsyncCheckpointer): training resumes after the
+    # device→host copy instead of stalling for the full ~GB state write.
+    # Preemption snapshots always stay synchronous.
     # iteration-based training (reference len_epoch + inf_loop,
     # trainer_dist.py:72-79): fixed cycles per epoch, loaders cycle endlessly
     len_epoch: Optional[int] = None

@@ -25,6 +25,28 @@ def _tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+# process-wide async checkpointer (orbax serializes saves internally; one
+# instance so wait_for_async_saves() has a single authority)
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight async checkpoint write has committed.
+    Call before restoring, before process exit, and before reading a snapshot
+    that may still be in flight."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     ckpt_dir: str | Path,
     name: str,
@@ -33,20 +55,34 @@ def save_checkpoint(
     monitor_best: float,
     keep: Optional[int] = None,
     extra_meta: Optional[Dict[str, Any]] = None,
+    async_save: bool = False,
 ) -> Path:
     """Save under ckpt_dir/name (an Orbax StandardCheckpointer snapshot).
-    extra_meta: e.g. {'cycles_done': N} for mid-epoch preemption snapshots."""
+    extra_meta: e.g. {'cycles_done': N} for mid-epoch preemption snapshots.
+
+    async_save=True returns after the device→host copy and commits the file
+    write in a background thread (Orbax AsyncCheckpointer) — training resumes
+    while ~GBs of optimizer state stream to disk. Orbax writes to a temp dir
+    and renames on commit, so a crash mid-write never leaves a readable
+    half-snapshot; the .meta.json sidecar is written immediately (restore
+    validates the snapshot dir itself). Preemption snapshots should stay
+    synchronous — the process may die right after."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).resolve()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / name
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _tree_to_numpy({
-            "params": state.params,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }), force=True)
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    if async_save:
+        ckptr = _async_checkpointer()
+        # orbax queues at most one in-flight save; waiting here makes
+        # back-to-back saves (epoch + model_best) well-defined
+        ckptr.wait_until_finished()
+        ckptr.save(path, args=ocp.args.StandardSave(tree), force=True)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, _tree_to_numpy(tree), force=True)
     meta = {"epoch": int(epoch), "monitor_best": float(monitor_best),
             "step": int(state.step)}
     if extra_meta:
@@ -54,20 +90,29 @@ def save_checkpoint(
     with open(ckpt_dir / f"{name}.meta.json", "w") as f:
         json.dump(meta, f)
     if keep is not None:
-        _gc_old(ckpt_dir, keep)
+        # count the (possibly still-committing) snapshot being written too —
+        # async saves exist only as an orbax tmp dir until commit
+        _gc_old(ckpt_dir, keep, pending=name)
     return path
 
 
-def _gc_old(ckpt_dir: Path, keep: int) -> None:
+def _gc_old(ckpt_dir: Path, keep: int, pending: Optional[str] = None) -> None:
     import re
     import shutil
 
     snaps = []
+    seen = set()
     for p in ckpt_dir.iterdir():
         m = re.fullmatch(r"checkpoint-epoch(\d+)", p.name)
         if m:
             snaps.append((int(m.group(1)), p))
-    for _, p in sorted(snaps)[:-keep]:
+            seen.add(p.name)
+    if pending is not None and pending not in seen:
+        m = re.fullmatch(r"checkpoint-epoch(\d+)", pending)
+        if m:  # in-flight async snapshot: counts toward keep, never deleted
+            snaps.append((int(m.group(1)), None))
+    snaps = [(e, p) for e, p in sorted(snaps)[:-keep] if p is not None]
+    for _, p in snaps:
         shutil.rmtree(p, ignore_errors=True)
         meta = p.with_name(p.name + ".meta.json")
         if meta.exists():
@@ -78,6 +123,7 @@ def restore_checkpoint(path: str | Path, state_template) -> Tuple[Any, Dict[str,
     """Restore a snapshot into the template's structure → (state_dict, meta)."""
     import orbax.checkpoint as ocp
 
+    wait_for_async_saves()  # a same-process snapshot may still be committing
     path = Path(path).resolve()
     template = _tree_to_numpy({
         "params": state_template.params,

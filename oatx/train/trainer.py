@@ -370,6 +370,7 @@ class Trainer:
                     break
             if self.save_dir and (epoch % t.save_period == 0 or best):
                 self._save(epoch, best)
+        ckptlib.wait_for_async_saves()  # commit any in-flight snapshot writes
         return history
 
     def _train_epoch(self, epoch: int, start_cycle: int = 0) -> Dict[str, float]:
@@ -529,10 +530,13 @@ class Trainer:
 
     def _save(self, epoch: int, best: bool) -> None:
         name = f"checkpoint-epoch{epoch}"
+        async_save = bool(getattr(self.exp.trainer, "async_checkpoint", False))
         path = ckptlib.save_checkpoint(self.save_dir, name, self.state, epoch,
-                                       self.monitor_best, keep=3)
-        self.logger.info("saved %s", path)
+                                       self.monitor_best, keep=3,
+                                       async_save=async_save)
+        self.logger.info("saved %s%s", path, " (async)" if async_save else "")
         if best:
             ckptlib.save_checkpoint(self.save_dir, "model_best", self.state,
-                                    epoch, self.monitor_best)
+                                    epoch, self.monitor_best,
+                                    async_save=async_save)
             self.logger.info("saved model_best (epoch %d)", epoch)
