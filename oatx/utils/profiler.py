@@ -69,6 +69,61 @@ def summarize_trace(log_dir: str, top: int = 20) -> List[Dict]:
             for n, d in sorted(durs.items(), key=lambda kv: -kv[1])[:top]]
 
 
+def _device_op_events(log_dir: str) -> List[Dict]:
+    """Leaf device-op events ('XLA Ops' threads of accelerator lanes) from the
+    newest trace.json.gz under log_dir. Falls back to any device lane with an
+    XLA-Ops thread (CPU traces) when no TPU lane exists."""
+    import glob
+    import gzip
+
+    files = sorted(glob.glob(str(Path(log_dir) / "plugins/profile/*/*.trace.json.gz")))
+    if not files:
+        return []
+    with gzip.open(files[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    pids = {e["pid"] for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "TPU" in e.get("args", {}).get("name", "")}
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and (not pids or e.get("pid") in pids)
+               and "XLA Ops" in e.get("args", {}).get("name", "")}
+    return [e for e in events
+            if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids]
+
+
+def summarize_by_source(log_dir: str, steps: int = 1, top: int = 25,
+                        data_movement_only: bool = False) -> List[Dict]:
+    """Aggregate device-op time by the REPO source line that emitted the op
+    (the `source` arg XLA attaches to each device event). This is how the
+    round-3 '26% data movement' finding was turned into named offenders
+    (PERF.md 'Per-source-line trace attribution') — use it to target layout
+    work at real lines instead of op classes.
+
+    data_movement_only=True keeps copy/reshape/slice/transpose/broadcast ops
+    and 'data formatting'/'memory transfer' fusion categories."""
+    import collections
+
+    def _is_movement(e):
+        name = e.get("name", "")
+        cat = e.get("args", {}).get("hlo_category", "")
+        return (cat in ("data formatting", "memory transfer")
+                or name.startswith(("copy", "reshape", "slice.", "transpose",
+                                    "broadcast")))
+
+    by_src: Dict[str, float] = collections.Counter()
+    count: Dict[str, int] = collections.Counter()
+    for e in _device_op_events(log_dir):
+        if data_movement_only and not _is_movement(e):
+            continue
+        src = e.get("args", {}).get("source", "?")
+        by_src[src] += e.get("dur", 0)
+        count[src] += 1
+    return [{"source": s, "ms_per_step": us / 1e3 / max(1, steps),
+             "ops_per_step": count[s] // max(1, steps)}
+            for s, us in sorted(by_src.items(), key=lambda kv: -kv[1])[:top]]
+
+
 @contextlib.contextmanager
 def annotate(name: str):
     """Named region in the device trace (jax.profiler.TraceAnnotation)."""
