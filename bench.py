@@ -156,26 +156,32 @@ def main():
 def _install_hang_guard(seconds: int = 1500) -> None:
     """The axon relay can stall for hours with ops that hang instead of
     erroring (PERF.md/CLAUDE.md round 3) — a driver-run bench must fail loudly
-    with a diagnosable JSON line, not wedge the round. SIGALRM fires only if
-    main() hasn't finished (first compile is 30-60 s; 25 min is far past any
-    healthy run)."""
+    with a diagnosable JSON line, not wedge the round. A daemon timer thread
+    (not SIGALRM: a main thread wedged inside a blocking jaxlib/relay C++ call
+    never returns to the bytecode loop, so a Python signal handler would never
+    run) prints the line and hard-exits. First compile is 30-60 s; 25 min is
+    far past any healthy run."""
     import json as _json
-    import signal
+    import os as _os
     import sys as _sys
+    import threading
 
-    def _bail(signum, frame):
+    def _bail():
         print(_json.dumps({
-            "metric": "train_clips_per_sec_per_chip", "value": 0.0,
+            "metric": "pretrain_clips_per_sec_per_chip", "value": 0.0,
             "unit": "clips/s", "vs_baseline": 0.0,
             "error": f"bench exceeded {seconds}s — TPU relay unreachable/hung",
         }))
         _sys.stdout.flush()
-        _sys.exit(2)
+        _os._exit(2)
 
-    signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(seconds)
+    t = threading.Timer(seconds, _bail)
+    t.daemon = True
+    t.start()
+    return t
 
 
 if __name__ == "__main__":
-    _install_hang_guard()
+    _guard = _install_hang_guard()
     main()
+    _guard.cancel()

@@ -37,4 +37,21 @@ if _os.environ.get("OATX_PLATFORM"):
     # var honored in-code is the only override that survives that.
     import jax as _jax
 
+    try:  # private probe — skip the staleness check if it moves
+        from jax._src import xla_bridge as _xb
+
+        if (_xb.backends_are_initialized()
+                and _jax.default_backend() != _os.environ["OATX_PLATFORM"]):
+            # config.update after backend init is a silent no-op — the exact
+            # silent-TPU-grab bug this pin exists to prevent. Fail loudly
+            # (harmless when the live backend already matches the pin).
+            raise RuntimeError(
+                f"OATX_PLATFORM={_os.environ['OATX_PLATFORM']} is set but JAX "
+                f"already initialized backend "
+                f"{_jax.default_backend()!r} before `import oatx` — the pin "
+                "cannot take effect. Import oatx (or set jax_platforms) "
+                "before any jax.devices()/dispatch call.")
+    except ImportError:
+        pass
+
     _jax.config.update("jax_platforms", _os.environ["OATX_PLATFORM"])

@@ -111,12 +111,21 @@ def _gc_old(ckpt_dir: Path, keep: int, pending: Optional[str] = None) -> None:
         m = re.fullmatch(r"checkpoint-epoch(\d+)", pending)
         if m:  # in-flight async snapshot: counts toward keep, never deleted
             snaps.append((int(m.group(1)), None))
+            seen.add(pending)
     snaps = [(e, p) for e, p in sorted(snaps)[:-keep] if p is not None]
     for _, p in snaps:
         shutil.rmtree(p, ignore_errors=True)
         meta = p.with_name(p.name + ".meta.json")
         if meta.exists():
             meta.unlink()
+    # orphaned sidecars: a kill between queueing an async save and orbax's
+    # tmp-dir commit rename leaves name.meta.json with no snapshot dir —
+    # phantom checkpoints that resume tooling would trip over. The in-flight
+    # `pending` name is exempt (its dir legitimately doesn't exist yet).
+    for p in ckpt_dir.glob("checkpoint-epoch*.meta.json"):
+        snap = p.name[: -len(".meta.json")]
+        if snap not in seen and not (ckpt_dir / snap).exists():
+            p.unlink(missing_ok=True)
 
 
 def restore_checkpoint(path: str | Path, state_template) -> Tuple[Any, Dict[str, Any]]:

@@ -14,9 +14,6 @@ Usage: python tools/exp_step_trace.py [trace_dir] [batch] [steps]
 from __future__ import annotations
 
 import collections
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -72,35 +69,21 @@ def capture(trace_dir: str, bs: int, steps: int) -> None:
 
 
 def analyze(trace_dir: str, steps: int) -> dict:
-    paths = sorted(glob.glob(os.path.join(
-        trace_dir, "plugins/profile/*/*.trace.json.gz")))
-    assert paths, f"no trace.json.gz under {trace_dir}"
-    with gzip.open(paths[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace["traceEvents"]
-    device_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            if "TPU" in e.get("args", {}).get("name", ""):
-                device_pids.add(e["pid"])
-    # Leaf ops live on the "XLA Ops" thread; module/step parent regions live on
-    # their own lanes and must not be double-counted.
-    op_tids = set()
-    for e in events:
-        if (e.get("ph") == "M" and e.get("name") == "thread_name"
-                and e.get("pid") in device_pids
-                and "XLA Ops" in e.get("args", {}).get("name", "")):
-            op_tids.add((e["pid"], e["tid"]))
+    # lane selection (TPU pids → "XLA Ops" tids) lives in one place:
+    # oatx.utils.profiler._device_op_events
+    from oatx.utils.profiler import _device_op_events
+
+    events = _device_op_events(trace_dir)
+    assert events, f"no device-op events under {trace_dir}"
     per_op = collections.Counter()
     op_count = collections.Counter()
     one_arg = {}
     for e in events:
-        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_tids:
-            name = e.get("name", "?")
-            per_op[name] += e.get("dur", 0)
-            op_count[name] += 1
-            if name not in one_arg and e.get("args"):
-                one_arg[name] = e["args"]
+        name = e.get("name", "?")
+        per_op[name] += e.get("dur", 0)
+        op_count[name] += 1
+        if name not in one_arg and e.get("args"):
+            one_arg[name] = e["args"]
     total_us = sum(per_op.values())
     per_class = collections.Counter()
     for name, us in per_op.items():
