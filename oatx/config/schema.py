@@ -178,6 +178,9 @@ class DataLoaderCfg:
     split: str = "train"
     cut: Optional[str] = None
     subsample: float = 1  # <1 keeps that fraction of metadata (reference base_dataset.py:46)
+    echo_factor: int = 1  # data echoing: E optimizer steps per decoded batch
+    # (fresh device-side augmentations per echo); lever for host-decode-bound
+    # deployments (PERF.md "Integrated input-pipeline"). Train-split only.
     text_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     object_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     video_params: Dict[str, Any] = dataclasses.field(default_factory=dict)

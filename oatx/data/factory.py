@@ -121,5 +121,6 @@ def build_loaders(
             shard_id=shard_id, num_shards=num_shards,
             drop_last=(split or dl.split) == "train",
             num_workers=dl.num_workers, seed=seed,
+            echo_factor=dl.echo_factor if (split or dl.split) == "train" else 1,
         ))
     return loaders

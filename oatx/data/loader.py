@@ -97,6 +97,7 @@ class ShardedLoader:
         num_workers: int = 8,
         seed: int = 0,
         prefetch_batches: int = 4,
+        echo_factor: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -108,6 +109,16 @@ class ShardedLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        # data echoing (Choi et al. 2020, arXiv:1907.05550): yield each decoded
+        # batch E times consecutively. Mitigates host-decode-bound input
+        # pipelines (measured 78% input stall at 1 core/chip — PERF.md
+        # "Integrated input-pipeline"): E optimizer steps per decode. Because
+        # oatx augmentation runs INSIDE the jitted step keyed on state.step,
+        # echoed batches still receive fresh crops/flips/jitter — echoing
+        # repeats decoded pixels, not training examples. Echoes count as
+        # batches everywhere (len(), max_samples_per_epoch, LR schedule).
+        assert echo_factor >= 1, f"echo_factor must be >= 1, got {echo_factor}"
+        self.echo_factor = int(echo_factor)
         self.epoch = 0
         self._wrap = 0  # bumped by MultiLoader(cycle_shorter) for fresh reshuffles
 
@@ -140,7 +151,8 @@ class ShardedLoader:
 
     def __len__(self) -> int:
         n = len(self._epoch_indices())
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        base = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return base * self.echo_factor
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         return self.iter_batches(0)
@@ -149,7 +161,19 @@ class ShardedLoader:
         """Iterate this epoch's batches starting at `start_batch` — pure index
         arithmetic on the (seed, epoch, wrap)-keyed stream, so a mid-epoch
         resume skips completed batches WITHOUT decoding them (the skipped
-        prefix is never fetched)."""
+        prefix is never fetched). With echo_factor E, `start_batch` indexes the
+        ECHOED stream: decoded batch j covers echoed positions [jE, (j+1)E),
+        so resume decodes from j0 = start_batch // E and skips the first
+        start_batch % E echoes — still decode-free for the completed prefix."""
+        if self.echo_factor > 1:
+            j0, skip = divmod(start_batch, self.echo_factor)
+            for j, batch in enumerate(self._iter_decoded(j0)):
+                for _ in range(self.echo_factor - (skip if j == 0 else 0)):
+                    yield batch
+            return
+        yield from self._iter_decoded(start_batch)
+
+    def _iter_decoded(self, start_batch: int = 0) -> Iterator[Dict[str, Any]]:
         idxs = self._epoch_indices()
         if self.drop_last:
             idxs = idxs[: (len(idxs) // self.batch_size) * self.batch_size]

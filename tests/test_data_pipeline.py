@@ -236,3 +236,56 @@ def test_cycle_shorter_stream_is_pure_function_of_epoch(synth_cfg, tokenizer):
     fresh = make_multi()                # resumed process: epoch 2 directly
     e2_fresh = stream(fresh, 2)
     assert e2_after_e1 == e2_fresh
+
+
+def test_loader_echo_factor(synth_cfg, tokenizer):
+    """Data echoing: each decoded batch yields E times with identical content,
+    len() scales by E, echoes never re-decode, and echoed-stream resume
+    arithmetic matches the full stream's suffix."""
+    ds = build_dataset(synth_cfg, variant="baseline")
+
+    calls = {"n": 0}
+    real_get = ds.get_sample
+
+    def counting_get(i, rng):
+        calls["n"] += 1
+        return real_get(i, rng)
+
+    ds.get_sample = counting_get
+    try:
+        col = Collator(tokenizer)
+        plain = ShardedLoader(ds, batch_size=4, collate=col, shuffle=True,
+                              num_workers=2, seed=1)
+        echo = ShardedLoader(ds, batch_size=4, collate=col, shuffle=True,
+                             num_workers=2, seed=1, echo_factor=3)
+        assert len(echo) == 3 * len(plain)
+
+        plain.set_epoch(0)
+        base = [[m["index"] for m in b["meta"]] for b in plain]
+        calls["n"] = 0
+        echo.set_epoch(0)
+        echoed = [[m["index"] for m in b["meta"]] for b in echo]
+        # each decoded batch appears 3x consecutively, in the plain order
+        assert echoed == [idx for idx in base for _ in range(3)]
+        # echoes are free: decode count equals the UN-echoed sample count
+        assert calls["n"] == len(base) * 4
+
+        # resume mid-echo: start_batch indexes the echoed stream
+        tail = [[m["index"] for m in b["meta"]]
+                for b in echo.iter_batches(start_batch=4)]
+        assert tail == echoed[4:]
+    finally:
+        ds.get_sample = real_get
+
+
+def test_loader_echo_config_passthrough(synth_cfg, tokenizer, tmp_path):
+    """echo_factor flows from the JSON config to the train loader, and is
+    forced to 1 for non-train splits."""
+    import dataclasses as dc
+
+    cfg = dc.replace(synth_cfg, echo_factor=2)
+    exp = ExperimentCfg(data_loaders=[cfg])
+    loaders = build_loaders(exp, tokenizer, split="train")
+    assert loaders[0].echo_factor == 2
+    val = build_loaders(exp, tokenizer, split="val")
+    assert val[0].echo_factor == 1
