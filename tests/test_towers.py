@@ -83,9 +83,12 @@ def ref_tower():
     return model
 
 
-@pytest.mark.parametrize("frames", [1, 4])
-def test_spacetime_parity(ref_tower, frames):
-    cfg = vst.SpaceTimeViTConfig(num_frames=4, time_init="random")
+@pytest.mark.parametrize("frames,split", [(1, False), (4, False), (4, True)])
+def test_spacetime_parity(ref_tower, frames, split):
+    # split=True runs the split-(patches, CLS)-stream path (PERF.md round 3)
+    # DIRECTLY against the torch oracle, not just against the fused JAX path
+    cfg = vst.SpaceTimeViTConfig(num_frames=4, time_init="random",
+                                 split_cls_stream=split)
     sd = {k: v.numpy() for k, v in ref_tower.state_dict().items()}
     params = convert.spacetime_vit_overlay_torch(
         vst.init(jax.random.PRNGKey(0), cfg), sd, cfg
