@@ -112,14 +112,15 @@ def extract_video(
             if overwrite or not os.path.exists(os.path.join(out_dir, f"{s}.npz"))]
     if not todo:
         return 0, num_extraction_frames
-    vlen, _, w, h = vr.probe(video_path)
-    grid = sample_frames(num_extraction_frames, max(vlen, 1), sample="uniform")
-    if len(grid) < num_extraction_frames:
-        # clips shorter than the grid repeat their last frame (same semantics
-        # as the loader's short-video pad) — without this, slots beyond vlen
-        # IndexError and the resumable pipeline retries the clip forever
-        grid = grid + [grid[-1]] * (num_extraction_frames - len(grid))
-    frames = vr.decode_indices(video_path, [grid[s] for s in todo], short_side=0)
+    with vr.VideoHandle(video_path) as handle:
+        vlen, _, w, h = handle.info()
+        grid = sample_frames(num_extraction_frames, max(vlen, 1), sample="uniform")
+        if len(grid) < num_extraction_frames:
+            # clips shorter than the grid repeat their last frame (same semantics
+            # as the loader's short-video pad) — without this, slots beyond vlen
+            # IndexError and the resumable pipeline retries the clip forever
+            grid = grid + [grid[-1]] * (num_extraction_frames - len(grid))
+        frames = handle.decode([grid[s] for s in todo], short_side=0)
     for frame, slot in zip(frames, todo):
         feats, boxes, ids, confs = detector(frame)
         save_roi_npz(os.path.join(out_dir, f"{slot}.npz"),

@@ -9,6 +9,13 @@ host→HBM transfer small (uint8) and the hot math on the TPU.
 
 The decode call releases the GIL (ctypes foreign call), so a thread-pool loader
 gets real parallelism without torch-style worker processes.
+
+Hot path: `VideoHandle` (or `read_frames`, which uses one) — a single container
+open serves probe + out_size + decode, and the native side skips the JPEG
+decode of unsampled frames for intra-only codecs and color-converts only the
+frames actually requested. v0.1→v0.2 cut a WebVid-like probe+4-frame decode
+from ~47 to ~7 ms/clip (PERF.md "Host decode plane v2"); the path-based
+functions below keep the old one-shot API on top of the same core.
 """
 
 from __future__ import annotations
@@ -58,6 +65,22 @@ def _load_lib():
     lib.oatx_decode_indices.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+    lib.oatx_open.restype = ctypes.c_void_p
+    lib.oatx_open.argtypes = [ctypes.c_char_p]
+    lib.oatx_close.restype = None
+    lib.oatx_close.argtypes = [ctypes.c_void_p]
+    lib.oatx_handle_info.restype = ctypes.c_int
+    lib.oatx_handle_info.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.oatx_handle_out_size.restype = ctypes.c_int
+    lib.oatx_handle_out_size.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.oatx_handle_decode.restype = ctypes.c_int
+    lib.oatx_handle_decode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
     lib.oatx_write_test_video.restype = ctypes.c_int
     lib.oatx_write_test_video.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -69,6 +92,74 @@ def _load_lib():
 
 def native_version() -> str:
     return _load_lib().oatx_version().decode()
+
+
+class VideoHandle:
+    """One open container serving probe + decode (the hot dataset path).
+
+    The v0.1 path-based API reopened (and re-ran find_stream_info on) the file
+    THREE times per clip read — probe, out_size, decode. A handle does it once;
+    on the WebVid-like fixture that plus the decode-side skip work cut
+    probe+decode from ~47 to ~7 ms/clip (PERF.md "Host decode plane v2").
+    Use as a context manager; the underlying native object is not thread-safe —
+    one handle per worker thread (the loader already samples clip-per-worker).
+    """
+
+    def __init__(self, path: str):
+        self._lib = _load_lib()
+        self._path = path
+        self._h = self._lib.oatx_open(path.encode())
+        if not self._h:
+            raise DecodeError(f"open failed: {path}")
+
+    def __enter__(self) -> "VideoHandle":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.oatx_close(self._h)
+            self._h = None
+
+    def info(self) -> Tuple[int, float, int, int]:
+        """→ (num_frames, fps, width, height)."""
+        nframes = ctypes.c_int64()
+        fps = ctypes.c_double()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = self._lib.oatx_handle_info(self._h, ctypes.byref(nframes),
+                                        ctypes.byref(fps), ctypes.byref(w),
+                                        ctypes.byref(h))
+        if rc != 0:
+            raise DecodeError(f"probe failed ({rc}): {self._path}")
+        return int(nframes.value), float(fps.value), int(w.value), int(h.value)
+
+    def out_size(self, short_side: int = 0) -> Tuple[int, int]:
+        ow = ctypes.c_int()
+        oh = ctypes.c_int()
+        rc = self._lib.oatx_handle_out_size(self._h, short_side,
+                                            ctypes.byref(ow), ctypes.byref(oh))
+        if rc != 0:
+            raise DecodeError(f"out_size failed ({rc}): {self._path}")
+        return int(ow.value), int(oh.value)
+
+    def decode(self, indices: Sequence[int], short_side: int = 0) -> np.ndarray:
+        """Decode specific frame indices → uint8 (n, H, W, 3) RGB."""
+        ow, oh = self.out_size(short_side)
+        n = len(indices)
+        out = np.empty((n, oh, ow, 3), dtype=np.uint8)
+        idx_arr = np.asarray(indices, dtype=np.int64)
+        rc = self._lib.oatx_handle_decode(
+            self._h,
+            idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, short_side,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ow, oh)
+        if rc < 0:
+            raise DecodeError(f"decode failed ({rc}): {self._path}")
+        return out
 
 
 def probe(path: str) -> Tuple[int, float, int, int]:
@@ -87,24 +178,8 @@ def probe(path: str) -> Tuple[int, float, int, int]:
 
 def decode_indices(path: str, indices: Sequence[int], short_side: int = 0) -> np.ndarray:
     """Decode specific frame indices → uint8 (n, H, W, 3) RGB."""
-    lib = _load_lib()
-    ow = ctypes.c_int()
-    oh = ctypes.c_int()
-    rc = lib.oatx_out_size(path.encode(), short_side, ctypes.byref(ow), ctypes.byref(oh))
-    if rc != 0:
-        raise DecodeError(f"open failed ({rc}): {path}")
-    n = len(indices)
-    out = np.empty((n, oh.value, ow.value, 3), dtype=np.uint8)
-    idx_arr = np.asarray(indices, dtype=np.int64)
-    rc = lib.oatx_decode_indices(
-        path.encode(),
-        idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, short_side,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ow.value, oh.value)
-    if rc < 0:
-        raise DecodeError(f"decode failed ({rc}): {path}")
-    return out
+    with VideoHandle(path) as h:
+        return h.decode(indices, short_side=short_side)
 
 
 def read_frames(
@@ -120,11 +195,12 @@ def read_frames(
     Mirrors reference read_frames_cv2/decord (sample_frames then fetch); decode
     errors raise DecodeError — dataset 'lax' loading catches and substitutes
     (reference base_dataset.py:101-108 semantics)."""
-    vlen, _, _, _ = probe(path)
-    if vlen <= 0:
-        raise DecodeError(f"no frames: {path}")
-    idxs = sample_frames(num_frames, vlen, sample=sample, fix_start=fix_start, rng=rng)
-    frames = decode_indices(path, idxs, short_side=short_side)
+    with VideoHandle(path) as h:
+        vlen, _, _, _ = h.info()
+        if vlen <= 0:
+            raise DecodeError(f"no frames: {path}")
+        idxs = sample_frames(num_frames, vlen, sample=sample, fix_start=fix_start, rng=rng)
+        frames = h.decode(idxs, short_side=short_side)
     return frames, idxs, vlen
 
 

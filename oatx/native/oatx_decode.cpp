@@ -5,8 +5,19 @@
 // container for frame count, then decode an arbitrary list of frame indices to
 // packed RGB24, optionally resizing so the short side equals a target (the
 // device-side augmentation pipeline takes over from there). Designed for
-// many-worker host pipelines: no global state, one cheap context per call,
-// errors returned as codes (callers resample/skip — "lax" loading).
+// many-worker host pipelines: no global state, errors returned as codes
+// (callers resample/skip — "lax" loading).
+//
+// Perf design (host decode is the pacing item for chip saturation — PERF.md
+// "Integrated input-pipeline"):
+//   * Handle API: ONE avformat_open_input + find_stream_info per clip instead
+//     of three (probe / out_size / decode each reopened in the v0.1 ABI).
+//   * Color-convert/resize (sws_scale) runs ONLY for requested indices; the
+//     lax end-of-stream fill keeps a refcounted AVFrame and scales once.
+//   * Intra-only codecs (MJPEG et al., AV_CODEC_PROP_INTRA_ONLY): packets for
+//     unwanted frame indices are never sent to the decoder at all — sampling
+//     4 of 64 frames skips ~94% of the JPEG decode work. A sequential-decode
+//     fallback preserves exact semantics if the skip path comes up short.
 //
 // Also includes a tiny MJPEG/AVI test-clip writer so the framework can
 // synthesize fixture videos hermetically (no ffmpeg CLI in the image).
@@ -23,6 +34,7 @@ extern "C" {
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <vector>
 
 namespace {
@@ -38,14 +50,21 @@ struct Decoder {
   int64_t nframes = 0;   // best-effort frame count
   double fps = 0.0;
   int width = 0, height = 0;
+  std::string path;      // for reopen when the container can't seek back
+  bool at_start = true;  // stream position is frame 0 and codec is fresh
 
-  ~Decoder() {
+  ~Decoder() { close(); }
+
+  void close() {
     if (codec) avcodec_free_context(&codec);
     if (fmt) avformat_close_input(&fmt);
+    codec = nullptr;
+    fmt = nullptr;
   }
 };
 
 int open_decoder(const char* path, Decoder* d) {
+  d->path = path;
   if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) return -1;
   if (avformat_find_stream_info(d->fmt, nullptr) < 0) return -2;
   d->stream_index =
@@ -68,38 +87,24 @@ int open_decoder(const char* path, Decoder* d) {
   if (d->nframes <= 0 && d->fps > 0 && d->fmt->duration > 0) {
     d->nframes = (int64_t)(d->fmt->duration * d->fps / AV_TIME_BASE);
   }
+  d->at_start = true;
   return 0;
 }
 
-// Decode sequentially, invoking `cb` with (frame_index, AVFrame*). Stops after
-// max_index has been delivered. Returns count of frames delivered to cb.
-template <typename F>
-int64_t scan_decode(Decoder* d, int64_t max_index, F&& cb) {
-  AVPacket* pkt = av_packet_alloc();
-  AVFrame* frame = av_frame_alloc();
-  int64_t idx = 0;
-  bool done = false;
-  while (!done && av_read_frame(d->fmt, pkt) >= 0) {
-    if (pkt->stream_index == d->stream_index) {
-      if (avcodec_send_packet(d->codec, pkt) == 0) {
-        while (avcodec_receive_frame(d->codec, frame) == 0) {
-          cb(idx, frame);
-          if (++idx > max_index) { done = true; break; }
-        }
-      }
-    }
-    av_packet_unref(pkt);
+// Rewind to frame 0 with a fresh codec state; reopens the container when it
+// cannot seek (the handle API allows info → decode → decode on one handle).
+int rewind_decoder(Decoder* d) {
+  if (d->at_start) return 0;
+  if (av_seek_frame(d->fmt, d->stream_index, 0, AVSEEK_FLAG_BACKWARD) >= 0 ||
+      av_seek_frame(d->fmt, d->stream_index, 0,
+                    AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE) >= 0) {
+    avcodec_flush_buffers(d->codec);
+    d->at_start = true;
+    return 0;
   }
-  if (!done) {  // flush
-    avcodec_send_packet(d->codec, nullptr);
-    while (avcodec_receive_frame(d->codec, frame) == 0) {
-      cb(idx, frame);
-      if (++idx > max_index) break;
-    }
-  }
-  av_frame_free(&frame);
-  av_packet_free(&pkt);
-  return idx;
+  std::string path = d->path;
+  d->close();
+  return open_decoder(path.c_str(), d);
 }
 
 void compute_out_size(int w, int h, int short_side, int* ow, int* oh) {
@@ -117,9 +122,282 @@ void compute_out_size(int w, int h, int short_side, int* ow, int* oh) {
   if (*oh == 0) *oh = 2;
 }
 
+// Shared state for one decode-indices call.
+struct IndexDecode {
+  Decoder* d;
+  const int64_t* indices;  // caller's order, duplicates allowed
+  int n;
+  uint8_t* out;
+  int ow, oh;
+  SwsContext* sws = nullptr;
+  size_t frame_bytes;
+  std::vector<uint8_t> rgb;         // scratch for one scaled frame
+  std::vector<bool> slot_filled;
+  int unfilled;
+  AVFrame* last = nullptr;          // refcounted most-recent decoded frame
+  int64_t last_idx = -1;
+
+  IndexDecode(Decoder* dec, const int64_t* idx, int count, uint8_t* buf,
+              int w, int h)
+      : d(dec), indices(idx), n(count), out(buf), ow(w), oh(h),
+        frame_bytes((size_t)w * h * 3), rgb((size_t)w * h * 3),
+        slot_filled(count, false), unfilled(count) {
+    last = av_frame_alloc();
+  }
+  ~IndexDecode() {
+    if (sws) sws_freeContext(sws);
+    if (last) av_frame_free(&last);
+  }
+
+  bool ensure_sws() {
+    if (!sws) {
+      sws = sws_getContext(d->width, d->height, d->codec->pix_fmt, ow, oh,
+                           AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
+                           nullptr);
+    }
+    return sws != nullptr;
+  }
+
+  // Scale `frame` once and copy into every slot that wants index `idx`.
+  bool deliver(int64_t idx, AVFrame* frame) {
+    if (!ensure_sws()) return false;
+    uint8_t* dst[1] = {rgb.data()};
+    int dst_stride[1] = {ow * 3};
+    sws_scale(sws, frame->data, frame->linesize, 0, d->height, dst, dst_stride);
+    for (int j = 0; j < n; j++) {
+      if (indices[j] == idx && !slot_filled[j]) {
+        std::memcpy(out + (size_t)j * frame_bytes, rgb.data(), frame_bytes);
+        slot_filled[j] = true;
+        unfilled--;
+      }
+    }
+    return true;
+  }
+
+  void remember(int64_t idx, AVFrame* frame) {
+    av_frame_unref(last);
+    av_frame_ref(last, frame);
+    last_idx = idx;
+  }
+
+  // Lax fill: any still-unfilled slot (index beyond the stream) gets the most
+  // recent decoded frame (reference read_frames semantics: clamp to the end).
+  bool fill_remainder_from_last() {
+    if (unfilled == 0) return true;
+    if (last_idx < 0 || !ensure_sws()) return false;
+    uint8_t* dst[1] = {rgb.data()};
+    int dst_stride[1] = {ow * 3};
+    sws_scale(sws, last->data, last->linesize, 0, d->height, dst, dst_stride);
+    for (int j = 0; j < n; j++) {
+      if (!slot_filled[j]) {
+        std::memcpy(out + (size_t)j * frame_bytes, rgb.data(), frame_bytes);
+        slot_filled[j] = true;
+        unfilled--;
+      }
+    }
+    return true;
+  }
+};
+
+// Sequential scan: decode every frame up to max_index, scaling only wanted
+// ones. Exact v0.1 semantics; works for any codec.
+int decode_sequential(IndexDecode& ix, int64_t max_index) {
+  Decoder* d = ix.d;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t idx = 0;
+  bool done = false;
+  while (!done && av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index) {
+      d->at_start = false;
+      if (avcodec_send_packet(d->codec, pkt) == 0) {
+        while (avcodec_receive_frame(d->codec, frame) == 0) {
+          ix.deliver(idx, frame);
+          ix.remember(idx, frame);
+          if (++idx > max_index) { done = true; break; }
+        }
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  if (!done) {  // flush
+    avcodec_send_packet(d->codec, nullptr);
+    while (avcodec_receive_frame(d->codec, frame) == 0) {
+      ix.deliver(idx, frame);
+      ix.remember(idx, frame);
+      if (++idx > max_index) break;
+    }
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  if (ix.last_idx < 0) return -102;  // nothing decodable at all
+  ix.fill_remainder_from_last();
+  return ix.n - ix.unfilled;
+}
+
+// Intra-only fast path: every packet is independently decodable, so packets
+// for unwanted indices are skipped without touching the codec. Keeps the last
+// seen packet so out-of-range indices can still be lax-filled with the true
+// final frame. Returns <0 if the caller should fall back to the sequential
+// path (delayed decoder output — not expected for intra codecs, but exactness
+// is guaranteed by construction, not by assumption).
+int decode_intra_skip(IndexDecode& ix, const std::vector<int64_t>& wanted) {
+  Decoder* d = ix.d;
+  AVPacket* pkt = av_packet_alloc();
+  AVPacket* last_pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t last_pkt_idx = -1;
+  size_t next = 0;  // into sorted-unique `wanted`
+  int64_t idx = 0;
+  bool short_output = false;
+
+  while (next < wanted.size() && av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index != d->stream_index) {
+      av_packet_unref(pkt);
+      continue;
+    }
+    d->at_start = false;
+    if (idx == wanted[next]) {
+      bool got = false;
+      if (avcodec_send_packet(d->codec, pkt) == 0) {
+        while (avcodec_receive_frame(d->codec, frame) == 0) {
+          ix.deliver(idx, frame);
+          ix.remember(idx, frame);
+          got = true;
+        }
+      }
+      if (!got) { short_output = true; av_packet_unref(pkt); break; }
+      next++;
+    } else {
+      av_packet_unref(last_pkt);
+      av_packet_ref(last_pkt, pkt);
+      last_pkt_idx = idx;
+    }
+    idx++;
+    av_packet_unref(pkt);
+  }
+
+  int result;
+  if (short_output) {
+    result = -1;  // decoder held the frame back: not truly delay-free
+  } else {
+    // EOF before all wanted indices: lax-fill from the true final stream
+    // frame, which may be a packet we skipped.
+    if (ix.unfilled > 0 && last_pkt_idx > ix.last_idx) {
+      if (avcodec_send_packet(d->codec, last_pkt) == 0) {
+        while (avcodec_receive_frame(d->codec, frame) == 0) {
+          ix.deliver(last_pkt_idx, frame);
+          ix.remember(last_pkt_idx, frame);
+        }
+      }
+    }
+    if (ix.last_idx < 0) {
+      result = -102;  // nothing decodable at all
+    } else {
+      ix.fill_remainder_from_last();
+      result = ix.n - ix.unfilled;
+    }
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  av_packet_free(&last_pkt);
+  return result;
+}
+
+int decode_indices_core(Decoder* d, const int64_t* indices, int n,
+                        int short_side, uint8_t* out, int out_w, int out_h) {
+  if (n <= 0) return 0;
+  int ow, oh;
+  compute_out_size(d->width, d->height, short_side, &ow, &oh);
+  if (ow != out_w || oh != out_h) return -100;  // caller sized buffer wrong
+  if (rewind_decoder(d) != 0) return -103;
+
+  std::vector<int64_t> wanted(indices, indices + n);
+  std::sort(wanted.begin(), wanted.end());
+  wanted.erase(std::unique(wanted.begin(), wanted.end()), wanted.end());
+  int64_t max_index = wanted.back();
+
+  const AVCodecDescriptor* desc = avcodec_descriptor_get(d->codec->codec_id);
+  bool intra_only = desc && (desc->props & AV_CODEC_PROP_INTRA_ONLY) &&
+                    d->codec->has_b_frames == 0;
+
+  {
+    IndexDecode ix(d, indices, n, out, ow, oh);
+    if (!ix.ensure_sws()) return -101;
+    if (intra_only) {
+      int rc = decode_intra_skip(ix, wanted);
+      if (rc >= 0 || rc == -102) return rc;
+      // fall through: rewind and decode sequentially (exactness over speed)
+    } else {
+      return decode_sequential(ix, max_index);
+    }
+  }
+  if (rewind_decoder(d) != 0) return -103;
+  IndexDecode ix(d, indices, n, out, ow, oh);
+  if (!ix.ensure_sws()) return -101;
+  return decode_sequential(ix, max_index);
+}
+
+int64_t count_frames_by_packets(Decoder* d) {
+  if (rewind_decoder(d) != 0) return 0;
+  AVPacket* pkt = av_packet_alloc();
+  int64_t count = 0;
+  while (av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index) count++;
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  d->at_start = false;  // conservatively force a rewind before any decode
+  return count;
+}
+
 }  // namespace
 
 extern "C" {
+
+// ------------------------------------------------------------- handle API
+// One container open serves probe + out_size + decode (the v0.1 path-based
+// calls below each reopened the file; datasets do all three per clip).
+
+void* oatx_open(const char* path) {
+  Decoder* d = new Decoder();
+  if (open_decoder(path, d) != 0) {
+    delete d;
+    return nullptr;
+  }
+  return d;
+}
+
+void oatx_close(void* h) { delete (Decoder*)h; }
+
+int oatx_handle_info(void* h, int64_t* nframes, double* fps, int* width,
+                     int* height) {
+  Decoder* d = (Decoder*)h;
+  if (d->nframes <= 0) {
+    // nb_frames can be 0 for some containers; count via packets as fallback
+    // (rewound lazily by the next decode call).
+    d->nframes = count_frames_by_packets(d);
+  }
+  *nframes = d->nframes;
+  *fps = d->fps;
+  *width = d->width;
+  *height = d->height;
+  return 0;
+}
+
+int oatx_handle_out_size(void* h, int short_side, int* out_w, int* out_h) {
+  Decoder* d = (Decoder*)h;
+  compute_out_size(d->width, d->height, short_side, out_w, out_h);
+  return 0;
+}
+
+int oatx_handle_decode(void* h, const int64_t* indices, int n, int short_side,
+                       uint8_t* out, int out_w, int out_h) {
+  return decode_indices_core((Decoder*)h, indices, n, short_side, out, out_w,
+                             out_h);
+}
+
+// ------------------------------------------------- path-based API (v0.1 ABI)
 
 // Probe: returns 0 on success; fills nframes/fps/width/height.
 int oatx_probe(const char* path, int64_t* nframes, double* fps, int* width,
@@ -127,22 +405,7 @@ int oatx_probe(const char* path, int64_t* nframes, double* fps, int* width,
   Decoder d;
   int rc = open_decoder(path, &d);
   if (rc != 0) return rc;
-  // nb_frames can be 0 for some containers; count via packets as fallback.
-  if (d.nframes <= 0) {
-    AVPacket* pkt = av_packet_alloc();
-    int64_t count = 0;
-    while (av_read_frame(d.fmt, pkt) >= 0) {
-      if (pkt->stream_index == d.stream_index) count++;
-      av_packet_unref(pkt);
-    }
-    av_packet_free(&pkt);
-    d.nframes = count;
-  }
-  *nframes = d.nframes;
-  *fps = d.fps;
-  *width = d.width;
-  *height = d.height;
-  return 0;
+  return oatx_handle_info(&d, nframes, fps, width, height);
 }
 
 // Output size for a given short-side resize policy (call before decode to size
@@ -164,54 +427,7 @@ int oatx_decode_indices(const char* path, const int64_t* indices, int n,
   Decoder d;
   int rc = open_decoder(path, &d);
   if (rc != 0) return rc;
-
-  int ow, oh;
-  compute_out_size(d.width, d.height, short_side, &ow, &oh);
-  if (ow != out_w || oh != out_h) return -100;  // caller sized buffer wrong
-
-  std::vector<int64_t> sorted(indices, indices + n);
-  std::sort(sorted.begin(), sorted.end());
-  int64_t max_index = sorted.back();
-
-  SwsContext* sws =
-      sws_getContext(d.width, d.height, d.codec->pix_fmt, ow, oh,
-                     AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
-  if (!sws) return -101;
-
-  const size_t frame_bytes = (size_t)ow * oh * 3;
-  std::vector<uint8_t> last(frame_bytes, 0);
-  std::vector<uint8_t> rgb(frame_bytes);
-  std::vector<bool> slot_filled(n, false);
-  bool have_any = false;
-
-  scan_decode(&d, max_index, [&](int64_t idx, AVFrame* frame) {
-    // decode every frame we pass (sequential scan); keep it if any slot wants
-    // it, and always remember it as `last` for lax end-of-stream fill.
-    uint8_t* dst[1] = {rgb.data()};
-    int dst_stride[1] = {ow * 3};
-    sws_scale(sws, frame->data, frame->linesize, 0, d.height, dst, dst_stride);
-    last.assign(rgb.begin(), rgb.end());
-    have_any = true;
-    for (int j = 0; j < n; j++) {
-      if (indices[j] == idx) {
-        std::memcpy(out + (size_t)j * frame_bytes, rgb.data(), frame_bytes);
-        slot_filled[j] = true;
-      }
-    }
-  });
-
-  sws_freeContext(sws);
-  if (!have_any) return -102;
-
-  // lax fill: indices beyond the stream get the last decoded frame
-  int filled = 0;
-  for (int j = 0; j < n; j++) {
-    if (!slot_filled[j]) {
-      std::memcpy(out + (size_t)j * frame_bytes, last.data(), frame_bytes);
-    }
-    filled++;
-  }
-  return filled;
+  return decode_indices_core(&d, indices, n, short_side, out, out_w, out_h);
 }
 
 // ---------------------------------------------------------------- test writer
@@ -299,6 +515,6 @@ int oatx_write_test_video(const char* path, int width, int height, int n,
   return 0;
 }
 
-const char* oatx_version() { return "oatx_decode 0.1 (" LIBAVCODEC_IDENT ")"; }
+const char* oatx_version() { return "oatx_decode 0.2 (" LIBAVCODEC_IDENT ")"; }
 
 }  // extern "C"

@@ -1,0 +1,110 @@
+"""Native decoder unit tests: index selection, handle API, lax semantics.
+
+The decoder replaces the reference's cv2/decord/PyAV readers
+(/root/reference/OATrans/base/base_dataset.py:503-552): sample frame indices,
+fetch exactly those frames, clamp out-of-range indices to the stream end (lax
+loading). The fixture writer stamps each frame's index into the top-left 8x8
+luma block (brightness 16 + 8*i), so frame ORDER is assertable from pixels;
+index SELECTION is asserted byte-exactly against a dense full decode —
+including through the intra-only packet-skip fast path, which must be
+byte-identical to decoding everything.
+"""
+
+import numpy as np
+import pytest
+
+from oatx.data import video_reader as vr
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "clip.avi")
+    vr.write_test_video(path, width=128, height=96, num_frames=32, fps=8, seed=3)
+    return path
+
+
+@pytest.fixture(scope="module")
+def full(clip):
+    """All 32 frames, native size — the oracle for index selection."""
+    return vr.decode_indices(clip, list(range(32)))
+
+
+def stampv(frame: np.ndarray) -> float:
+    """Mean of the stamped 8x8 block (monotone in frame index, offset by a
+    constant chroma term from the RGB conversion)."""
+    return float(frame[2:6, 2:6, 1].mean())
+
+
+def test_probe_and_out_size(clip):
+    n, fps, w, h = vr.probe(clip)
+    assert (n, w, h) == (32, 128, 96)
+    assert fps == pytest.approx(8.0)
+
+
+def test_full_decode_is_index_aligned(full):
+    # the stamp brightens by 8 luma codes per frame: strictly increasing stamp
+    # means frame i really is the i-th encoded frame (the writer's 16+8i luma
+    # saturates at i=30, so check the unsaturated range)
+    stamps = [stampv(f) for f in full[:30]]
+    assert all(b - a > 3.0 for a, b in zip(stamps, stamps[1:]))
+
+
+def test_decode_exact_indices(clip, full):
+    idxs = [0, 5, 17, 31]
+    frames = vr.decode_indices(clip, idxs)
+    assert frames.shape == (4, 96, 128, 3) and frames.dtype == np.uint8
+    for got, i in zip(frames, idxs):
+        assert np.array_equal(got, full[i]), i
+
+
+def test_decode_unsorted_and_duplicate_indices(clip, full):
+    idxs = [20, 3, 20, 0]
+    frames = vr.decode_indices(clip, idxs)
+    for got, i in zip(frames, idxs):
+        assert np.array_equal(got, full[i]), i
+
+
+def test_out_of_range_lax_fills_last_frame(clip, full):
+    # indices beyond the stream get the final stream frame, even when the
+    # packet-skip path never wanted any in-range frame near the end
+    frames = vr.decode_indices(clip, [2, 100])
+    assert np.array_equal(frames[0], full[2])
+    assert np.array_equal(frames[1], full[31])
+    only_oor = vr.decode_indices(clip, [500, 501])
+    assert np.array_equal(only_oor[0], full[31])
+    assert np.array_equal(only_oor[1], full[31])
+
+
+def test_short_side_resize_geometry(clip):
+    frames = vr.decode_indices(clip, [1], short_side=64)
+    # 128x96 → short side 96→64, long side 128*64/96 = 85 → even-floored 84
+    assert frames.shape == (1, 64, 84, 3)
+
+
+def test_handle_reuse_and_parity_with_path_api(clip):
+    idxs = [4, 9, 9, 27, 100]
+    via_path = vr.decode_indices(clip, idxs, short_side=64)
+    with vr.VideoHandle(clip) as h:
+        n, fps, w, hh = h.info()
+        assert (n, w, hh) == (32, 128, 96)
+        assert h.out_size(64) == (84, 64)
+        first = h.decode(idxs, short_side=64)
+        second = h.decode(idxs, short_side=64)  # re-decode rewinds the handle
+        native_size = h.decode([0])
+    assert np.array_equal(via_path, first)
+    assert np.array_equal(first, second)
+    assert native_size.shape == (1, 96, 128, 3)
+
+
+def test_read_frames_roundtrip(clip):
+    frames, idxs, vlen = vr.read_frames(clip, 4, sample="uniform", short_side=64)
+    assert vlen == 32 and len(idxs) == 4
+    oracle = vr.decode_indices(clip, idxs, short_side=64)
+    assert np.array_equal(frames, oracle)
+
+
+def test_open_missing_file_raises(tmp_path):
+    with pytest.raises(vr.DecodeError):
+        vr.probe(str(tmp_path / "nope.avi"))
+    with pytest.raises(vr.DecodeError):
+        vr.VideoHandle(str(tmp_path / "nope.avi"))
