@@ -85,6 +85,10 @@ def _load_lib():
     lib.oatx_write_test_video.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint]
+    lib.oatx_write_test_video_ex.restype = ctypes.c_int
+    lib.oatx_write_test_video_ex.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint, ctypes.c_char_p, ctypes.c_int]
     lib.oatx_version.restype = ctypes.c_char_p
     _lib = lib
     return lib
@@ -205,12 +209,16 @@ def read_frames(
 
 
 def write_test_video(path: str, width: int = 128, height: int = 96,
-                     num_frames: int = 32, fps: int = 8, seed: int = 0) -> None:
-    """Synthesize an MJPEG/AVI fixture clip (tests/demos; no ffmpeg CLI needed).
+                     num_frames: int = 32, fps: int = 8, seed: int = 0,
+                     codec: str = "mjpeg", gop: int = 0) -> None:
+    """Synthesize a fixture clip (tests/demos; no ffmpeg CLI needed).
     seed=0 is the historical pattern; nonzero seeds produce visually distinct
-    content (pattern frequency/phase + chroma)."""
+    content (pattern frequency/phase + chroma). codec='mjpeg' writes the
+    historical intra-only AVI; 'mpeg4' / 'libx264' write inter-coded streams
+    (keyframe interval `gop`) that exercise the decoder's seek-stepping path;
+    the container follows the path extension for non-mjpeg codecs."""
     lib = _load_lib()
-    rc = lib.oatx_write_test_video(path.encode(), width, height, num_frames, fps,
-                                   seed & 0xFFFFFFFF)
+    rc = lib.oatx_write_test_video_ex(path.encode(), width, height, num_frames,
+                                      fps, seed & 0xFFFFFFFF, codec.encode(), gop)
     if rc != 0:
-        raise DecodeError(f"test video write failed ({rc}): {path}")
+        raise DecodeError(f"test video write failed ({rc}): {path} [{codec}]")

@@ -28,6 +28,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
 #include <libswscale/swscale.h>
 }
 
@@ -49,6 +50,7 @@ struct Decoder {
   int stream_index = -1;
   int64_t nframes = 0;   // best-effort frame count
   double fps = 0.0;
+  AVRational frame_rate = {0, 1};
   int width = 0, height = 0;
   std::string path;      // for reopen when the container can't seek back
   bool at_start = true;  // stream position is frame 0 and codec is fresh
@@ -82,6 +84,7 @@ int open_decoder(const char* path, Decoder* d) {
   d->width = d->codec->width;
   d->height = d->codec->height;
   AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  d->frame_rate = fr;
   d->fps = fr.den ? av_q2d(fr) : 0.0;
   d->nframes = st->nb_frames;
   if (d->nframes <= 0 && d->fps > 0 && d->fmt->duration > 0) {
@@ -304,6 +307,132 @@ int decode_intra_skip(IndexDecode& ix, const std::vector<int64_t>& wanted) {
   return result;
 }
 
+// Pull the next decoded frame in presentation order. Returns 1 when a frame
+// was produced, 0 at stream end. `draining` tracks whether the EOF flush
+// packet has been sent (reset it after every avcodec_flush_buffers).
+int next_frame(Decoder* d, AVPacket* pkt, AVFrame* frame, bool* draining) {
+  while (true) {
+    int rc = avcodec_receive_frame(d->codec, frame);
+    if (rc == 0) return 1;
+    if (rc == AVERROR_EOF) return 0;
+    // decoder wants more input
+    while ((rc = av_read_frame(d->fmt, pkt)) >= 0 &&
+           pkt->stream_index != d->stream_index) {
+      av_packet_unref(pkt);
+    }
+    if (rc >= 0) {
+      d->at_start = false;
+      avcodec_send_packet(d->codec, pkt);
+      av_packet_unref(pkt);
+    } else if (!*draining) {
+      avcodec_send_packet(d->codec, nullptr);
+      *draining = true;
+    } else {
+      return 0;
+    }
+  }
+}
+
+// Inter-codec fast path (H.264/MPEG-4 class): for each wanted index, seek to
+// the nearest preceding keyframe and decode forward only from there —
+// decoding 4 sampled frames of a 300-frame clip costs ~4 half-GOPs instead of
+// the whole prefix. Frame identity comes from presentation timestamps
+// (CFR index = round(pts_seconds * fps)); any anomaly (no pts, seek failure,
+// landing past the target) returns <0 so the caller falls back to the exact
+// sequential scan. Keyframe-exact decode means output is byte-identical to
+// the sequential path for conformant closed-GOP streams.
+int decode_seek_stepping(IndexDecode& ix, const std::vector<int64_t>& wanted) {
+  Decoder* d = ix.d;
+  AVStream* st = d->fmt->streams[d->stream_index];
+  // index math prefers r_frame_rate: avg_frame_rate is nb_frames/duration and
+  // some containers (mp4) bias it by one frame interval (120 frames over a
+  // 119-tick duration → 12.1 "fps"), which mis-maps pts→index near clip end;
+  // r_frame_rate is defined as the rate representing all timestamps exactly
+  AVRational rate = st->r_frame_rate;
+  if (rate.num <= 0 || rate.den <= 0) rate = d->frame_rate;
+  if (rate.num <= 0 || rate.den <= 0) return -1;
+  // AVI stores no real pts (demuxer fabricates pts=dts): with B-frame
+  // reordering every timestamp is shifted by the codec delay and pts→index
+  // alignment would deliver wrong-by-delay frames. Sequential only.
+  const char* ifname = d->fmt->iformat ? d->fmt->iformat->name : "";
+  if (d->codec->has_b_frames > 0 && ifname && std::strstr(ifname, "avi")) {
+    return -1;
+  }
+  const double index_fps = av_q2d(rate);
+  const AVRational tick = {rate.den, rate.num};  // seconds per frame
+  const double tb_sec = av_q2d(st->time_base);
+  const int64_t start_ts =
+      st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
+  // decode-forward distance below which seeking isn't worth it (also keeps
+  // dense index lists on the pure forward path)
+  const int64_t SEEK_AHEAD = 16;
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  bool draining = false;
+  bool aligned = d->at_start;  // `cur` trustworthy without reading a pts
+  int64_t cur = 0;             // index of the next frame decode will deliver
+  bool eof = false;
+  int fail = 0;
+
+  for (size_t wi = 0; wi < wanted.size() && !eof && !fail; wi++) {
+    const int64_t t = wanted[wi];
+    if (!aligned || t >= cur + SEEK_AHEAD) {
+      int64_t ts = start_ts + av_rescale_q(t, tick, st->time_base);
+      if (av_seek_frame(d->fmt, d->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0) {
+        fail = 1;
+        break;
+      }
+      avcodec_flush_buffers(d->codec);
+      d->at_start = false;
+      draining = false;
+      aligned = false;
+    }
+    while (!eof && !fail) {
+      if (!next_frame(d, pkt, frame, &draining)) {
+        eof = true;
+        break;
+      }
+      int64_t fidx;
+      if (!aligned) {
+        int64_t bts = frame->best_effort_timestamp;
+        if (bts == AV_NOPTS_VALUE) { fail = 1; break; }
+        if (frame->pkt_duration > 0) {  // exact CFR tick count when the codec has it
+          fidx = (int64_t)llround((double)(bts - start_ts) / frame->pkt_duration);
+        } else {
+          fidx = (int64_t)llround((double)(bts - start_ts) * tb_sec * index_fps);
+        }
+        if (fidx > t) { fail = 1; break; }  // seek landed past the target
+        aligned = true;
+      } else {
+        fidx = cur;
+      }
+      cur = fidx + 1;
+      ix.remember(fidx, frame);
+      if (fidx == t) {
+        ix.deliver(t, frame);
+        break;
+      }
+      av_frame_unref(frame);
+    }
+  }
+
+  int result;
+  if (fail) {
+    result = -1;  // caller rewinds and runs the sequential path
+  } else if (ix.last_idx < 0) {
+    result = -102;  // nothing decodable at all
+  } else {
+    // targets beyond the stream: `last` is the true final frame (stepping
+    // toward them decoded through to EOF)
+    ix.fill_remainder_from_last();
+    result = ix.n - ix.unfilled;
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return result;
+}
+
 int decode_indices_core(Decoder* d, const int64_t* indices, int n,
                         int short_side, uint8_t* out, int out_w, int out_h) {
   if (n <= 0) return 0;
@@ -329,7 +458,9 @@ int decode_indices_core(Decoder* d, const int64_t* indices, int n,
       if (rc >= 0 || rc == -102) return rc;
       // fall through: rewind and decode sequentially (exactness over speed)
     } else {
-      return decode_sequential(ix, max_index);
+      int rc = decode_seek_stepping(ix, wanted);
+      if (rc >= 0 || rc == -102) return rc;
+      // fall through likewise (unseekable container, missing pts, …)
     }
   }
   if (rewind_decoder(d) != 0) return -103;
@@ -432,10 +563,15 @@ int oatx_decode_indices(const char* path, const int64_t* indices, int n,
 
 // ---------------------------------------------------------------- test writer
 
-// Write a synthetic MJPEG/AVI clip (n solid-ish frames with a moving gradient,
-// frame index encoded in the top-left 8x8 block brightness). For fixtures only.
-int oatx_write_test_video(const char* path, int width, int height, int n,
-                          int fps, unsigned seed) {
+// Write a synthetic test clip: n frames of a moving gradient with the frame
+// index stamped into the top-left 8x8 block brightness. For fixtures only.
+// `codec_name` picks the encoder ("mjpeg" historical default; "mpeg4" /
+// "libx264" produce INTER-coded streams exercising the keyframe-seek decode
+// path); `gop` sets the keyframe interval for inter codecs (<=0: encoder
+// default). Container comes from the path's extension (.avi/.mp4/...).
+int oatx_write_test_video_ex(const char* path, int width, int height, int n,
+                             int fps, unsigned seed, const char* codec_name,
+                             int gop) {
   // seed 0 keeps the historical pattern; nonzero seeds vary spatial
   // frequency, phase and chroma so multi-video fixtures are visually distinct
   // (rank-parity tests need separable content).
@@ -445,18 +581,38 @@ int oatx_write_test_video(const char* path, int width, int height, int n,
   const int fy = 1 + (int)((s >> 10) & 3u);
   const int cu = 128 + (int)((s >> 12) & 0x3Fu) - 32;
   const int cv = 128 + (int)((s >> 18) & 0x3Fu) - 32;
-  const AVCodec* enc = avcodec_find_encoder(AV_CODEC_ID_MJPEG);
+  const bool mjpeg = !codec_name || std::strcmp(codec_name, "mjpeg") == 0;
+  const AVCodec* enc = mjpeg ? avcodec_find_encoder(AV_CODEC_ID_MJPEG)
+                             : avcodec_find_encoder_by_name(codec_name);
   if (!enc) return -1;
   AVFormatContext* fmt = nullptr;
-  if (avformat_alloc_output_context2(&fmt, nullptr, "avi", path) < 0) return -2;
+  if (avformat_alloc_output_context2(&fmt, nullptr, mjpeg ? "avi" : nullptr,
+                                     path) < 0) {
+    return -2;
+  }
   AVStream* st = avformat_new_stream(fmt, enc);
   AVCodecContext* c = avcodec_alloc_context3(enc);
   c->width = width;
   c->height = height;
-  c->pix_fmt = AV_PIX_FMT_YUVJ420P;
   c->time_base = {1, fps};
-  c->flags |= AV_CODEC_FLAG_QSCALE;
-  c->global_quality = FF_QP2LAMBDA * 2;
+  c->framerate = {fps, 1};
+  if (mjpeg) {
+    c->pix_fmt = AV_PIX_FMT_YUVJ420P;
+    c->flags |= AV_CODEC_FLAG_QSCALE;
+    c->global_quality = FF_QP2LAMBDA * 2;
+  } else {
+    c->pix_fmt = AV_PIX_FMT_YUV420P;
+    if (gop > 0) c->gop_size = gop;
+    c->bit_rate = (int64_t)width * height * fps / 2;  // generous for fixtures
+    av_opt_set(c->priv_data, "preset", "ultrafast", 0);  // no-op off x264
+    if (std::strcmp(codec_name, "mpeg4") == 0 ||
+        std::strcmp(codec_name, "mpeg2video") == 0) {
+      c->max_b_frames = 2;  // exercise presentation-order reordering in tests
+    }
+  }
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER) {
+    c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  }
   if (avcodec_open2(c, enc, nullptr) < 0) return -3;
   avcodec_parameters_from_context(st->codecpar, c);
   st->time_base = c->time_base;
@@ -513,6 +669,12 @@ int oatx_write_test_video(const char* path, int width, int height, int n,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
+}
+
+// Historical MJPEG/AVI writer (v0.1 ABI).
+int oatx_write_test_video(const char* path, int width, int height, int n,
+                          int fps, unsigned seed) {
+  return oatx_write_test_video_ex(path, width, height, n, fps, seed, "mjpeg", 0);
 }
 
 const char* oatx_version() { return "oatx_decode 0.2 (" LIBAVCODEC_IDENT ")"; }

@@ -103,6 +103,31 @@ def test_read_frames_roundtrip(clip):
     assert np.array_equal(frames, oracle)
 
 
+@pytest.mark.parametrize("codec,ext,gop", [
+    ("mpeg4", ".mp4", 12),       # B-frames on: presentation-order reordering
+    ("mpeg4", ".avi", 16),       # AVI+B-frames: pts unreliable → sequential path
+    ("libx264", ".mp4", 16),     # the real WebVid codec
+    ("mpeg2video", ".mp4", 15),  # B-frames, a third codec family
+])
+def test_inter_codec_seek_decode_matches_sequential(tmp_path, codec, ext, gop):
+    """Inter-coded streams (keyframe-seek stepping path) must be byte-identical
+    to a dense sequential decode of the same file — including lax clamping of
+    out-of-range indices and duplicate indices."""
+    p = str(tmp_path / f"clip{ext}")
+    vr.write_test_video(p, 192, 144, 120, fps=12, seed=5, codec=codec, gop=gop)
+    n, fps, w, h = vr.probe(p)
+    assert (n, w, h) == (120, 192, 144)
+    full = vr.decode_indices(p, list(range(120)))
+    for idxs in ([7, 40, 41, 99], [119], [55, 300], [90, 3], [17, 17, 64], [300, 301]):
+        got = vr.decode_indices(p, idxs)
+        for g, i in zip(got, idxs):
+            assert np.array_equal(g, full[min(i, 119)]), (codec, ext, idxs, i)
+    with vr.VideoHandle(p) as hd:
+        a = hd.decode([7, 40, 99], short_side=64)
+        b = hd.decode([7, 40, 99], short_side=64)
+    assert np.array_equal(a, b)
+
+
 def test_open_missing_file_raises(tmp_path):
     with pytest.raises(vr.DecodeError):
         vr.probe(str(tmp_path / "nope.avi"))
