@@ -401,8 +401,21 @@ class Trainer:
         cycles_done = start_cycle
         last_metrics = None
         self.watchdog.start()
-        for loader_idx, batch in device_prefetch(multi.iter_from(start_cycle),
-                                                 self.mesh):
+        # live input-stall accounting: time blocked in the prefetch iterator
+        # (host decode + collate + H2D not hidden by the overlap) vs wall time.
+        # The offline equivalent is tools/bench_train_e2e.py; this makes the
+        # stall visible in every real run (TB scalar `input_wait` + epoch log).
+        prefetch_iter = iter(device_prefetch(multi.iter_from(start_cycle),
+                                             self.mesh))
+        data_wait = 0.0
+        wall_start = time.time()
+        while True:
+            w0 = time.perf_counter()
+            try:
+                loader_idx, batch = next(prefetch_iter)
+            except StopIteration:
+                break
+            data_wait += time.perf_counter() - w0
             batch.pop("meta", None)
             self.state, metrics = self.train_step(self.state, batch)
             last_metrics = metrics
@@ -442,7 +455,11 @@ class Trainer:
                 break
         if last_metrics is not None:
             _ = float(last_metrics["loss"])  # drain device queue
+        wall = time.time() - wall_start
         out = {}
+        if wall > 0 and sum(steps_per_loader):
+            out["input_wait"] = data_wait / wall
+            self.writer.add_scalar("input_wait", out["input_wait"])
         for i, (s, v, n) in enumerate(zip(loss_sums, valid_sums, steps_per_loader)):
             nv = float(v) if n else 0.0  # single fetch per loader per epoch
             out[f"loss_{i}"] = float(s) / nv if nv else float("nan")

@@ -99,6 +99,10 @@ def test_training_loss_decreases(trained):
     tr = Trainer(exp, loaders, [], save_dir=None, log_dir=None)
     hist = tr.train()
     assert hist[4]["loss_0"] < hist[1]["loss_0"]
+    # live input-stall diagnostic: fraction of epoch wall time blocked on the
+    # host data plane (decode+collate+H2D not hidden by the prefetch overlap)
+    for ep in hist.values():
+        assert 0.0 <= ep["input_wait"] <= 1.0
 
 
 def test_resume_continues(trained):
