@@ -352,9 +352,11 @@ class LSMDCChoice(LSMDC):
 
 @DATASETS.register("SyntheticVideoText")
 class SyntheticVideoText(TextVideoDataset):
-    """Hermetic synthetic dataset: generates MJPEG fixture clips + captions (and
+    """Hermetic synthetic dataset: generates fixture clips + captions (and
     optional object npzs) under data_dir on first use. For tests, demos, and
-    pipeline benchmarks — no downloads."""
+    pipeline benchmarks — no downloads. Clips are MJPEG/AVI by default;
+    video_params.fixture_codec ('libx264'/'mpeg4', + fixture_gop) writes
+    inter-coded mp4 for WebVid-realistic decode cost."""
 
     def _load_metadata(self):
         n = int(self.video_params.get("num_videos", 16))
@@ -363,6 +365,12 @@ class SyntheticVideoText(TextVideoDataset):
         fw = int(self.video_params.get("fixture_width", 128))
         fh = int(self.video_params.get("fixture_height", 96))
         ff = int(self.video_params.get("fixture_frames", 0))
+        # fixture_codec 'libx264'/'mpeg4' (+fixture_gop) writes inter-coded mp4
+        # clips — WebVid-realistic decode cost for host-plane benchmarks
+        codec = str(self.video_params.get("fixture_codec", "mjpeg"))
+        gop = int(self.video_params.get("fixture_gop", 0))
+        ext = ".avi" if codec == "mjpeg" else ".mp4"
+        self._fixture_ext = ext
         os.makedirs(self.data_dir, exist_ok=True)
         nouns = ["dog", "cat", "car", "tree", "person", "bird", "boat", "horse"]
         verbs = ["runs", "jumps", "sits", "moves", "plays", "stands"]
@@ -371,9 +379,10 @@ class SyntheticVideoText(TextVideoDataset):
 
         for i in range(n):
             vid = f"clip{i:04d}"
-            path = os.path.join(self.data_dir, vid + ".avi")
+            path = os.path.join(self.data_dir, vid + ext)
             if not os.path.exists(path):
-                vr.write_test_video(path, fw, fh, ff or 24 + (i % 3) * 8, 8)
+                vr.write_test_video(path, fw, fh, ff or 24 + (i % 3) * 8, 8,
+                                    codec=codec, gop=gop)
             cap = f"a {nouns[i % len(nouns)]} {verbs[i % len(verbs)]} in scene {i}"
             self.metadata.append({"videoid": vid, "caption": cap})
             if self.object_dir:
@@ -392,7 +401,7 @@ class SyntheticVideoText(TextVideoDataset):
                         np.savez(ofp, x=feats, bbox=boxes, info=info)
 
     def _get_video_path(self, rec):
-        rel = rec["videoid"] + ".avi"
+        rel = rec["videoid"] + getattr(self, "_fixture_ext", ".avi")
         return os.path.join(self.data_dir, rel), rel
 
     def _get_caption(self, rec, rng):

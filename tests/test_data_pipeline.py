@@ -289,3 +289,24 @@ def test_loader_echo_config_passthrough(synth_cfg, tokenizer, tmp_path):
     assert loaders[0].echo_factor == 2
     val = build_loaders(exp, tokenizer, split="val")
     assert val[0].echo_factor == 1
+
+
+def test_synthetic_dataset_inter_codec(tmp_path, tokenizer):
+    """fixture_codec writes inter-coded mp4 clips (WebVid-realistic decode);
+    the full dataset->loader path must work identically over them."""
+    cfg = DataLoaderCfg(
+        type="TextVideoDataLoader", dataset_name="SyntheticVideoText",
+        data_dir=str(tmp_path / "v264"), object_dir="", batch_size=4,
+        num_workers=2, split="train",
+        video_params={"input_res": 224, "num_frames": 4, "num_videos": 4,
+                      "loading": "lax", "fixture_codec": "mpeg4",
+                      "fixture_gop": 8},
+    )
+    ds = build_dataset(cfg, "baseline", "train")
+    assert os.path.exists(os.path.join(cfg.data_dir, "clip0000.mp4"))
+    item = ds[0]
+    assert item["video"].shape[0] == 4
+    loader = ShardedLoader(ds, batch_size=4, collate=Collator(tokenizer),
+                           shuffle=True, num_workers=2, seed=0)
+    batches = list(loader)
+    assert batches and batches[0]["video"].shape[:2] == (4, 4)

@@ -24,6 +24,9 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--res", type=int, default=320, help="fixture clip resolution")
     p.add_argument("--len", type=int, default=64, help="fixture frames per clip")
+    p.add_argument("--codec", default="mjpeg",
+                   help="mjpeg (intra/AVI) | libx264 | mpeg4 (inter/mp4)")
+    p.add_argument("--gop", type=int, default=0, help="keyframe interval (inter codecs)")
     args = p.parse_args(argv)
 
     from oatx.config.schema import DataLoaderCfg
@@ -42,10 +45,13 @@ def main(argv=None) -> int:
         from oatx.data import video_reader as vr
         import os
 
+        ext = ".avi" if args.codec == "mjpeg" else ".mp4"
         for rec in ds.metadata:
-            path = os.path.join(cfg.data_dir, rec["videoid"] + ".avi")
-            os.remove(path)
-            vr.write_test_video(path, args.res, args.res * 3 // 4, args.len, 24)
+            os.remove(os.path.join(cfg.data_dir, rec["videoid"] + getattr(ds, "_fixture_ext", ".avi")))
+            vr.write_test_video(os.path.join(cfg.data_dir, rec["videoid"] + ext),
+                                args.res, args.res * 3 // 4, args.len, 24,
+                                codec=args.codec, gop=args.gop)
+        ds._fixture_ext = ext
 
         tok = WordPieceTokenizer.build_from_corpus(["a dog"], vocab_size=64)
         loader = ShardedLoader(ds, batch_size=8, collate=Collator(tok),
@@ -62,7 +68,8 @@ def main(argv=None) -> int:
             "clips_per_sec": round(clips / dt, 1),
             "frames_per_sec": round(clips * args.frames / dt, 1),
             "workers": args.workers,
-            "clip": f"{args.res}x{args.res * 3 // 4} mjpeg, {args.len} frames, "
+            "clip": f"{args.res}x{args.res * 3 // 4} {args.codec}"
+                    f"{f' gop{args.gop}' if args.gop else ''}, {args.len} frames, "
                     f"{args.frames} sampled + canonicalized to 256^2",
         }))
     return 0
