@@ -45,14 +45,29 @@ def _load_lib():
         return _lib
     inputs = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
               if f.endswith((".cpp", ".h")) or f == "Makefile"]
-    stale = (os.path.exists(_LIB_PATH) and inputs
-             and max(map(os.path.getmtime, inputs)) > os.path.getmtime(_LIB_PATH))
-    if not os.path.exists(_LIB_PATH) or stale:
+
+    def _stale():
+        return (os.path.exists(_LIB_PATH) and inputs
+                and max(map(os.path.getmtime, inputs)) > os.path.getmtime(_LIB_PATH))
+
+    if not os.path.exists(_LIB_PATH) or _stale():
         # build on first use — and REBUILD when ANY build input (source,
         # headers, Makefile flags) is newer than the .so: the C ABI has grown
         # arguments (e.g. the fixture writer's seed) and ctypes silently drops
-        # extras, so a stale library misbehaves without any error
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        # extras, so a stale library misbehaves without any error.
+        # Cross-process exclusive lock: multi-process launches (tests, pod
+        # hosts sharing a filesystem) must not run `make` concurrently or
+        # dlopen a half-written .so; losers of the race re-check under the
+        # lock and skip the rebuild.
+        import fcntl
+        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if not os.path.exists(_LIB_PATH) or _stale():
+                    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                                   capture_output=True)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.oatx_probe.restype = ctypes.c_int
     lib.oatx_probe.argtypes = [
