@@ -648,6 +648,10 @@ int oatx_write_test_video_ex(const char* path, int width, int height, int n,
     frame->quality = c->global_quality;
     if (avcodec_send_frame(c, frame) == 0) {
       while (avcodec_receive_packet(c, pkt) == 0) {
+        // one frame per packet in c->time_base; without an explicit duration
+        // a 1-packet mp4 gets edit-list duration 0 and the demuxer DISCARDs
+        // its only sample (decoders then output nothing at all)
+        pkt->duration = 1;
         av_packet_rescale_ts(pkt, c->time_base, st->time_base);
         pkt->stream_index = st->index;
         av_interleaved_write_frame(fmt, pkt);
@@ -657,6 +661,7 @@ int oatx_write_test_video_ex(const char* path, int width, int height, int n,
   }
   avcodec_send_frame(c, nullptr);
   while (avcodec_receive_packet(c, pkt) == 0) {
+    pkt->duration = 1;
     av_packet_rescale_ts(pkt, c->time_base, st->time_base);
     pkt->stream_index = st->index;
     av_interleaved_write_frame(fmt, pkt);
