@@ -369,6 +369,7 @@ class SyntheticVideoText(TextVideoDataset):
         # clips — WebVid-realistic decode cost for host-plane benchmarks
         codec = str(self.video_params.get("fixture_codec", "mjpeg"))
         gop = int(self.video_params.get("fixture_gop", 0))
+        fps = int(self.video_params.get("fixture_fps", 8))
         ext = ".avi" if codec == "mjpeg" else ".mp4"
         self._fixture_ext = ext
         os.makedirs(self.data_dir, exist_ok=True)
@@ -381,7 +382,7 @@ class SyntheticVideoText(TextVideoDataset):
             vid = f"clip{i:04d}"
             path = os.path.join(self.data_dir, vid + ext)
             if not os.path.exists(path):
-                vr.write_test_video(path, fw, fh, ff or 24 + (i % 3) * 8, 8,
+                vr.write_test_video(path, fw, fh, ff or 24 + (i % 3) * 8, fps,
                                     codec=codec, gop=gop)
             cap = f"a {nouns[i % len(nouns)]} {verbs[i % len(verbs)]} in scene {i}"
             self.metadata.append({"videoid": vid, "caption": cap})

@@ -50,25 +50,25 @@ def _load_lib():
         return (os.path.exists(_LIB_PATH) and inputs
                 and max(map(os.path.getmtime, inputs)) > os.path.getmtime(_LIB_PATH))
 
-    if not os.path.exists(_LIB_PATH) or _stale():
-        # build on first use — and REBUILD when ANY build input (source,
-        # headers, Makefile flags) is newer than the .so: the C ABI has grown
-        # arguments (e.g. the fixture writer's seed) and ctypes silently drops
-        # extras, so a stale library misbehaves without any error.
-        # Cross-process exclusive lock: multi-process launches (tests, pod
-        # hosts sharing a filesystem) must not run `make` concurrently or
-        # dlopen a half-written .so; losers of the race re-check under the
-        # lock and skip the rebuild.
-        import fcntl
-        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                if not os.path.exists(_LIB_PATH) or _stale():
-                    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                                   capture_output=True)
-            finally:
-                fcntl.flock(lock, fcntl.LOCK_UN)
-    lib = ctypes.CDLL(_LIB_PATH)
+    # build on first use — and REBUILD when ANY build input (source, headers,
+    # Makefile flags) is newer than the .so: the C ABI has grown arguments
+    # (e.g. the fixture writer's seed) and ctypes silently drops extras, so a
+    # stale library misbehaves without any error.
+    # The staleness check, make, AND dlopen all run under one cross-process
+    # exclusive lock: multi-process launches (tests, pod hosts sharing a
+    # filesystem) must neither run `make` concurrently nor dlopen a
+    # half-linked .so (the linker writes it in place over seconds, with an
+    # mtime that already looks fresh — checking outside the lock is a TOCTOU).
+    import fcntl
+    with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            if not os.path.exists(_LIB_PATH) or _stale():
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True)
+            lib = ctypes.CDLL(_LIB_PATH)
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
     lib.oatx_probe.restype = ctypes.c_int
     lib.oatx_probe.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
@@ -137,10 +137,18 @@ class VideoHandle:
     def __exit__(self, *exc) -> None:
         self.close()
 
+    def __del__(self):  # last-resort native cleanup off the context manager
+        self.close()
+
     def close(self) -> None:
-        if self._h:
+        if getattr(self, "_h", None):
             self._lib.oatx_close(self._h)
             self._h = None
+
+    def _handle(self):
+        if not self._h:  # NULL through ctypes would segfault in native code
+            raise DecodeError(f"handle is closed: {self._path}")
+        return self._h
 
     def info(self) -> Tuple[int, float, int, int]:
         """→ (num_frames, fps, width, height)."""
@@ -148,7 +156,7 @@ class VideoHandle:
         fps = ctypes.c_double()
         w = ctypes.c_int()
         h = ctypes.c_int()
-        rc = self._lib.oatx_handle_info(self._h, ctypes.byref(nframes),
+        rc = self._lib.oatx_handle_info(self._handle(), ctypes.byref(nframes),
                                         ctypes.byref(fps), ctypes.byref(w),
                                         ctypes.byref(h))
         if rc != 0:
@@ -158,7 +166,7 @@ class VideoHandle:
     def out_size(self, short_side: int = 0) -> Tuple[int, int]:
         ow = ctypes.c_int()
         oh = ctypes.c_int()
-        rc = self._lib.oatx_handle_out_size(self._h, short_side,
+        rc = self._lib.oatx_handle_out_size(self._handle(), short_side,
                                             ctypes.byref(ow), ctypes.byref(oh))
         if rc != 0:
             raise DecodeError(f"out_size failed ({rc}): {self._path}")
@@ -171,7 +179,7 @@ class VideoHandle:
         out = np.empty((n, oh, ow, 3), dtype=np.uint8)
         idx_arr = np.asarray(indices, dtype=np.int64)
         rc = self._lib.oatx_handle_decode(
-            self._h,
+            self._handle(),
             idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n, short_side,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -162,7 +162,15 @@ struct IndexDecode {
   }
 
   // Scale `frame` once and copy into every slot that wants index `idx`.
+  // No-op (no color convert) when nothing wants it — the sequential path
+  // calls this for every decoded frame, and the whole point of v2 is that
+  // sws_scale runs only for requested indices.
   bool deliver(int64_t idx, AVFrame* frame) {
+    bool want = false;
+    for (int j = 0; j < n && !want; j++) {
+      want = indices[j] == idx && !slot_filled[j];
+    }
+    if (!want) return true;
     if (!ensure_sws()) return false;
     uint8_t* dst[1] = {rgb.data()};
     int dst_stride[1] = {ow * 3};
@@ -211,7 +219,7 @@ int decode_sequential(IndexDecode& ix, int64_t max_index) {
   int64_t idx = 0;
   bool done = false;
   while (!done && av_read_frame(d->fmt, pkt) >= 0) {
-    if (pkt->stream_index == d->stream_index) {
+    if (pkt->stream_index == d->stream_index && pkt->size > 0) {
       d->at_start = false;
       if (avcodec_send_packet(d->codec, pkt) == 0) {
         while (avcodec_receive_frame(d->codec, frame) == 0) {
@@ -260,6 +268,13 @@ int decode_intra_skip(IndexDecode& ix, const std::vector<int64_t>& wanted) {
       continue;
     }
     d->at_start = false;
+    if (pkt->size == 0) {
+      // zero-size drop-frame packets (AVI A/V-sync padding) decode to no
+      // frame — the sequential path numbers by DECODED frames, so skipping
+      // them here keeps both paths on the same index space
+      av_packet_unref(pkt);
+      continue;
+    }
     if (idx == wanted[next]) {
       bool got = false;
       if (avcodec_send_packet(d->codec, pkt) == 0) {
@@ -315,9 +330,10 @@ int next_frame(Decoder* d, AVPacket* pkt, AVFrame* frame, bool* draining) {
     int rc = avcodec_receive_frame(d->codec, frame);
     if (rc == 0) return 1;
     if (rc == AVERROR_EOF) return 0;
-    // decoder wants more input
+    // decoder wants more input (empty drop-frame packets are demux padding,
+    // and an empty payload through send_packet reads as a flush signal)
     while ((rc = av_read_frame(d->fmt, pkt)) >= 0 &&
-           pkt->stream_index != d->stream_index) {
+           (pkt->stream_index != d->stream_index || pkt->size == 0)) {
       av_packet_unref(pkt);
     }
     if (rc >= 0) {
@@ -474,7 +490,7 @@ int64_t count_frames_by_packets(Decoder* d) {
   AVPacket* pkt = av_packet_alloc();
   int64_t count = 0;
   while (av_read_frame(d->fmt, pkt) >= 0) {
-    if (pkt->stream_index == d->stream_index) count++;
+    if (pkt->stream_index == d->stream_index && pkt->size > 0) count++;
     av_packet_unref(pkt);
   }
   av_packet_free(&pkt);

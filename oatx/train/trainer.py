@@ -408,7 +408,7 @@ class Trainer:
         prefetch_iter = iter(device_prefetch(multi.iter_from(start_cycle),
                                              self.mesh))
         data_wait = 0.0
-        wall_start = time.time()
+        wall_start = time.perf_counter()  # monotonic, like the wait accumulator
         while True:
             w0 = time.perf_counter()
             try:
@@ -455,7 +455,7 @@ class Trainer:
                 break
         if last_metrics is not None:
             _ = float(last_metrics["loss"])  # drain device queue
-        wall = time.time() - wall_start
+        wall = time.perf_counter() - wall_start
         out = {}
         if wall > 0 and sum(steps_per_loader):
             out["input_wait"] = data_wait / wall

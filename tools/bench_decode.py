@@ -39,19 +39,13 @@ def main(argv=None) -> int:
             dataset_name="SyntheticVideoText", data_dir=f"{td}/v", object_dir="",
             batch_size=8, num_workers=args.workers, split="train",
             video_params={"num_frames": args.frames, "num_videos": args.clips,
-                          "num_video_frames": args.len, "loading": "lax"})
+                          "loading": "lax",
+                          # realistic decode load straight from the dataset
+                          "fixture_width": args.res,
+                          "fixture_height": args.res * 3 // 4,
+                          "fixture_frames": args.len, "fixture_fps": 24,
+                          "fixture_codec": args.codec, "fixture_gop": args.gop})
         ds = build_dataset(cfg, "baseline", "train")
-        # regenerate fixtures at the requested size for a realistic decode load
-        from oatx.data import video_reader as vr
-        import os
-
-        ext = ".avi" if args.codec == "mjpeg" else ".mp4"
-        for rec in ds.metadata:
-            os.remove(os.path.join(cfg.data_dir, rec["videoid"] + getattr(ds, "_fixture_ext", ".avi")))
-            vr.write_test_video(os.path.join(cfg.data_dir, rec["videoid"] + ext),
-                                args.res, args.res * 3 // 4, args.len, 24,
-                                codec=args.codec, gop=args.gop)
-        ds._fixture_ext = ext
 
         tok = WordPieceTokenizer.build_from_corpus(["a dog"], vocab_size=64)
         loader = ShardedLoader(ds, batch_size=8, collate=Collator(tok),
