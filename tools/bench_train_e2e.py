@@ -37,7 +37,8 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
-def build_dataset(data_dir: str, n_clips: int, fw: int, fh: int, ff: int):
+def build_dataset(data_dir: str, n_clips: int, fw: int, fh: int, ff: int,
+                  codec: str = "mjpeg", gop: int = 0):
     import oatx.data.datasets.adapters  # noqa: F401
     from oatx.config.registry import DATASETS
     from oatx.config.schema import DataLoaderCfg
@@ -46,7 +47,9 @@ def build_dataset(data_dir: str, n_clips: int, fw: int, fh: int, ff: int):
         dataset_name="SyntheticVideoText", data_dir=data_dir,
         video_params={"input_res": 224, "num_frames": 4, "num_videos": n_clips,
                       "fixture_width": fw, "fixture_height": fh,
-                      "fixture_frames": ff, "loading": "strict"},
+                      "fixture_frames": ff, "loading": "strict",
+                      "fixture_codec": codec, "fixture_gop": gop,
+                      "fixture_fps": 24},
         split="train"))
 
 
@@ -59,6 +62,9 @@ def main(argv=None):
     p.add_argument("--fixture", default="320x240x64")
     p.add_argument("--data-dir", default="/tmp/oatx_e2e_bench/videos")
     p.add_argument("--prefetch-depth", type=int, default=2)
+    p.add_argument("--codec", default="mjpeg",
+                   help="fixture codec: mjpeg | libx264 | mpeg4 (inter/mp4)")
+    p.add_argument("--gop", type=int, default=0)
     args = p.parse_args(argv)
     fw, fh, ff = (int(x) for x in args.fixture.split("x"))
 
@@ -74,7 +80,10 @@ def main(argv=None):
     from oatx.train import optim, step as steplib
 
     t_gen = time.perf_counter()
-    ds = build_dataset(args.data_dir, args.clips, fw, fh, ff)
+    # keyed by fixture spec so geometry/codec changes never reuse stale clips
+    data_dir = os.path.join(args.data_dir,
+                            f"{args.fixture}_{args.codec}{args.gop or ''}")
+    ds = build_dataset(data_dir, args.clips, fw, fh, ff, args.codec, args.gop)
     print(f"# dataset ready ({args.clips} clips {fw}x{fh}x{ff}) "
           f"in {time.perf_counter() - t_gen:.1f}s", file=sys.stderr)
 
@@ -170,7 +179,7 @@ def main(argv=None):
         "step_ms": {"device": round(dev_step * 1e3, 2),
                     "e2e": round(e2e_step * 1e3, 2)},
         "est_host_cores_to_saturate": round(cores_needed, 2),
-        "fixture": f"{fw}x{fh}x{ff}",
+        "fixture": f"{fw}x{fh}x{ff} {args.codec}",
         "steps": args.steps,
     }))
     return 0
