@@ -4,10 +4,16 @@
 
 Endpoints:
   GET  /healthz            → {"status": "ok"}
-  GET  /stats              → latency p50/p90/p99 per modality
+  GET  /stats              → latency p50/p90/p99 per modality (+ index size)
   POST /embed_text         → {"texts": [...]}            → {"embeddings": [[...]]}
   POST /embed_video        → {"video_b64": <base64 npy>} → {"embeddings": [[...]]}
                              (uint8 array (B, F, canon, canon, 3) saved with np.save)
+  POST /search             → {"texts": [...], "k": 5}    → {"results": [[{"id",
+                             "score", "rank"}, ...]]} — text→video top-k over the
+                             corpus index (requires --index; build one with
+                             tools/build_index.py)
+  POST /index_video        → {"video_b64": ..., "ids": [...]} — embed clips and
+                             add them to the live index (requires --index)
 
 Serving is bucketed-batch compiled (oatx.serve.embed_service); warmup compiles
 all buckets before the socket opens so first-request latency is steady-state.
@@ -42,6 +48,8 @@ def build_service(argv):
     p.add_argument("--port", type=int, default=8600)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--buckets", default="1,4,16")
+    p.add_argument("--index", default=None,
+                   help="corpus index .npz (tools/build_index.py) enabling /search")
     our, rest = p.parse_known_args(argv)
 
     from oatx.utils.compile_cache import enable as _enable_cache
@@ -65,12 +73,22 @@ def build_service(argv):
     buckets = tuple(int(b) for b in our.buckets.split(","))
     svc = EmbedService(params, tower_cfg, buckets=buckets)
     svc.warmup(frames=exp.cfg.arch.video_params.num_frames)
-    return svc, tokenizer, our
+    index = None
+    if our.index:
+        from oatx.serve.retrieval_index import RetrievalIndex
+
+        index = RetrievalIndex.load(our.index)
+    return svc, tokenizer, index, our
 
 
 class _Handler(BaseHTTPRequestHandler):
     service = None
     tokenizer = None
+    index = None
+    # the index is not internally thread-safe (add() swaps the corpus buffer);
+    # ThreadingHTTPServer handles requests concurrently, so search/add both
+    # take this lock
+    _index_lock = __import__("threading").Lock()
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -87,8 +105,29 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/healthz":
             return self._json(200, {"status": "ok"})
         if self.path == "/stats":
-            return self._json(200, self.service.latency_summary())
+            stats = self.service.latency_summary()
+            if self.index is not None:
+                stats["index"] = {"size": len(self.index), "dim": self.index.dim}
+            return self._json(200, stats)
         return self._json(404, {"error": f"unknown path {self.path}"})
+
+    def _embed_texts(self, req):
+        """Tokenize + embed req['texts']; shared by /embed_text and /search."""
+        texts = req.get("texts")
+        if not texts or not isinstance(texts, list):
+            raise ValueError("'texts' must be a non-empty list")
+        # clamp to the warmed sequence length: client-chosen lengths would
+        # each compile a fresh XLA graph (30-60 s stall per distinct shape —
+        # trivial DoS on the single-chip server)
+        max_len = min(int(req.get("max_length", self.service.seq_len)),
+                      self.service.seq_len)
+        tok = self.tokenizer(texts, max_length=max_len)
+        ids, mask = tok["input_ids"], tok["attention_mask"]
+        if ids.shape[1] < self.service.seq_len:
+            pad = self.service.seq_len - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)))
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        return self.service.embed_text(ids, mask)
 
     def do_POST(self):
         try:
@@ -98,24 +137,39 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(400, {"error": f"bad JSON: {e}"})
         try:
             if self.path == "/embed_text":
-                texts = req.get("texts")
-                if not texts or not isinstance(texts, list):
-                    return self._json(400, {"error": "'texts' must be a non-empty list"})
-                # clamp to the warmed sequence length: client-chosen lengths
-                # would each compile a fresh XLA graph (30-60 s stall per
-                # distinct shape — trivial DoS on the single-chip server)
-                max_len = min(int(req.get("max_length", self.service.seq_len)),
-                              self.service.seq_len)
-                tok = self.tokenizer(texts, max_length=max_len)
-                ids, mask = tok["input_ids"], tok["attention_mask"]
-                if ids.shape[1] < self.service.seq_len:
-                    import numpy as _np
-
-                    pad = self.service.seq_len - ids.shape[1]
-                    ids = _np.pad(ids, ((0, 0), (0, pad)))
-                    mask = _np.pad(mask, ((0, 0), (0, pad)))
-                emb = self.service.embed_text(ids, mask)
+                try:
+                    emb = self._embed_texts(req)
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
                 return self._json(200, {"embeddings": emb.tolist()})
+            if self.path == "/search":
+                if self.index is None:
+                    return self._json(400, {"error": "no index loaded (--index)"})
+                try:
+                    emb = self._embed_texts(req)
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
+                k = int(req.get("k", 5))
+                with self._index_lock:
+                    results = self.index.search(emb, k=k)
+                return self._json(200, {"results": results})
+            if self.path == "/index_video":
+                if self.index is None:
+                    return self._json(400, {"error": "no index loaded (--index)"})
+                b64, ids = req.get("video_b64"), req.get("ids")
+                if not b64 or not isinstance(ids, list) or not ids:
+                    return self._json(400, {
+                        "error": "'video_b64' (base64 npy) and non-empty 'ids' required"})
+                arr = np.load(io.BytesIO(base64.b64decode(b64)), allow_pickle=False)
+                if arr.dtype != np.uint8 or arr.ndim != 5 or arr.shape[0] != len(ids):
+                    return self._json(400, {
+                        "error": f"expected uint8 (B,F,H,W,3) with B == len(ids), "
+                                 f"got {arr.dtype} {arr.shape} vs {len(ids)} ids"})
+                emb = self.service.embed_video(arr)
+                with self._index_lock:
+                    self.index.add(emb, [str(i) for i in ids])
+                    size = len(self.index)
+                return self._json(200, {"indexed": len(ids), "size": size})
             if self.path == "/embed_video":
                 b64 = req.get("video_b64")
                 if not b64:
@@ -132,12 +186,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
-    svc, tokenizer, our = build_service(argv)
+    svc, tokenizer, index, our = build_service(argv)
     _Handler.service = svc
     _Handler.tokenizer = tokenizer
+    _Handler.index = index
     server = ThreadingHTTPServer((our.host, our.port), _Handler)
     print(json.dumps({"serving": f"http://{our.host}:{our.port}",
-                      "buckets": list(svc.buckets)}), flush=True)
+                      "buckets": list(svc.buckets),
+                      "index_size": len(index) if index is not None else None}),
+          flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

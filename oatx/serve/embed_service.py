@@ -36,13 +36,18 @@ class LatencyStats:
             return float("nan")
         return float(np.percentile(self.samples_ms, p))
 
-    def summary(self) -> Dict[str, float]:
+    def summary(self) -> Dict[str, Optional[float]]:
+        # None (JSON null) when empty — json.dumps would otherwise emit bare
+        # NaN, which strict JSON parsers reject
+        if not self.samples_ms:
+            return {"count": 0, "p50_ms": None, "p90_ms": None,
+                    "p99_ms": None, "mean_ms": None}
         return {
             "count": len(self.samples_ms),
             "p50_ms": self.percentile(50),
             "p90_ms": self.percentile(90),
             "p99_ms": self.percentile(99),
-            "mean_ms": float(np.mean(self.samples_ms)) if self.samples_ms else float("nan"),
+            "mean_ms": float(np.mean(self.samples_ms)),
         }
 
 

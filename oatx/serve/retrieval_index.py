@@ -1,0 +1,237 @@
+"""Corpus retrieval index: device-resident embeddings + jitted top-k search.
+
+Completes the serving story the reference only has offline: its `test.py`
+computes a full text×video similarity matrix once per eval run
+(/root/reference/OATrans/test.py:280-284) and exits. Production retrieval
+wants the other shape — embed the video corpus once, then answer ad-hoc text
+queries at interactive latency. This module is that index, built TPU-first:
+
+  * the corpus lives on device as one L2-normalized f32 matrix, padded up to a
+    bucket length so incremental `add()` growth re-uses the compiled graph
+    (pad rows are masked to -inf, validity is a device scalar — no recompile
+    until the bucket itself grows);
+  * `search()` is a single jitted matmul + `lax.top_k` — cosine scores ride
+    the MXU; query batches are bucketed like EmbedService so only a handful
+    of graphs ever compile;
+  * corpora larger than `score_chunk` rows score as a `lax.map` over row
+    chunks with per-chunk top-k then a merge top-k, bounding the live
+    similarity buffer at (B, score_chunk) regardless of corpus size.
+
+Index construction from a dataset goes through the same eval pipeline as
+retrieval metrics (tools/build_index.py → eval.retrieval_eval.evaluate), so an
+index is consistent with reported R@k numbers by construction.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float32)
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(n, 1e-8)
+
+
+def ids_for_result(res) -> List[str]:
+    """One corpus id per `EvalResult.video_embeds` row.
+
+    Mirrors the row-collapsing rules of retrieval_eval.evaluate: sliding-window
+    ensembling keeps first-appearance group order (ensemble_windows), and the
+    full-cut caption_group protocol keeps one video per group in
+    first-appearance order. Plain runs are one row per sample."""
+    metas = res.meta
+    if not metas:
+        return [str(i) for i in range(res.video_embeds.shape[0])]
+
+    def _collapse(key: str) -> List[str]:
+        seen, out = set(), []
+        for m in metas:
+            g = m[key]
+            if g not in seen:
+                seen.add(g)
+                out.append(str(m.get("paths", g)))
+        return out
+
+    for key in ("caption_group", "window_group"):
+        if key in metas[0]:
+            ids = _collapse(key)
+            if len(ids) == res.video_embeds.shape[0]:
+                return ids
+    return [str(m.get("paths", i)) for i, m in enumerate(metas)]
+
+
+class RetrievalIndex:
+    """Top-k cosine retrieval over a normalized embedding corpus.
+
+    Embeddings are normalized once at insert; queries are normalized inside
+    the jitted search, so scores are exact cosine similarities (the same
+    quantity `sim_matrix` ranks in offline eval)."""
+
+    def __init__(
+        self,
+        embeddings: Optional[np.ndarray] = None,
+        ids: Optional[Sequence[str]] = None,
+        pad_multiple: int = 1024,
+        score_chunk: int = 16384,
+        query_buckets: Sequence[int] = (1, 4, 16),
+    ):
+        if pad_multiple < 1 or score_chunk < 1:
+            raise ValueError("pad_multiple and score_chunk must be >= 1")
+        # chunked scoring needs chunk-divisible pad lengths
+        self.pad_multiple = int(pad_multiple)
+        self.score_chunk = (max(int(score_chunk), self.pad_multiple)
+                            // self.pad_multiple * self.pad_multiple)
+        self.query_buckets = sorted(int(b) for b in query_buckets)
+        self.ids: List[str] = []
+        self._emb = np.zeros((0, 0), np.float32)  # normalized, unpadded (host)
+        self._device_corpus = None
+        self._search_cache: Dict[Tuple[int, int, int], object] = {}
+        if embeddings is not None:
+            if ids is None:
+                raise ValueError("ids required when embeddings are given")
+            self.add(embeddings, ids)
+
+    # ---- construction -------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    @property
+    def dim(self) -> int:
+        return self._emb.shape[1] if self._emb.size else 0
+
+    def add(self, embeddings: np.ndarray, ids: Sequence[str]) -> None:
+        embeddings = np.atleast_2d(np.asarray(embeddings, np.float32))
+        if embeddings.shape[0] != len(ids):
+            raise ValueError(
+                f"{embeddings.shape[0]} embeddings vs {len(ids)} ids")
+        if self._emb.size and embeddings.shape[1] != self._emb.shape[1]:
+            raise ValueError(
+                f"dim mismatch: index {self._emb.shape[1]}, new {embeddings.shape[1]}")
+        new = _normalize(embeddings)
+        self._emb = new if not self._emb.size else np.concatenate([self._emb, new])
+        self.ids.extend(str(i) for i in ids)
+        self._device_corpus = None  # re-padded lazily on next search
+
+    def _padded_len(self) -> int:
+        n = max(1, len(self.ids))
+        pad_len = (n + self.pad_multiple - 1) // self.pad_multiple * self.pad_multiple
+        if pad_len > self.score_chunk:
+            # chunked scoring reshapes to (C, score_chunk, D) — pad to a
+            # chunk-divisible length
+            pad_len = ((pad_len + self.score_chunk - 1)
+                       // self.score_chunk * self.score_chunk)
+        return pad_len
+
+    def _corpus(self):
+        import jax.numpy as jnp
+
+        if self._device_corpus is None:
+            pad_len = self._padded_len()
+            buf = np.zeros((pad_len, self._emb.shape[1]), np.float32)
+            buf[: len(self.ids)] = self._emb
+            import jax
+
+            self._device_corpus = jax.device_put(jnp.asarray(buf))
+        return self._device_corpus
+
+    # ---- search --------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self.query_buckets:
+            if n <= b:
+                return b
+        return self.query_buckets[-1]
+
+    def _make_search(self, pad_len: int, k: int):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        chunk = self.score_chunk
+
+        def fn(corpus, n_valid, q):
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+            n_rows = corpus.shape[0]
+            if n_rows > chunk:
+                n_chunks = n_rows // chunk  # pad_len is chunk-divisible
+                corp = corpus.reshape(n_chunks, chunk, corpus.shape[1])
+                starts = jnp.arange(n_chunks) * chunk
+
+                def body(args):
+                    c, start = args
+                    sims = q @ c.T  # (B, chunk) — the only live sim buffer
+                    valid = (start + jnp.arange(chunk))[None, :] < n_valid
+                    sims = jnp.where(valid, sims, -jnp.inf)
+                    s, i = lax.top_k(sims, k)
+                    return s, i + start
+
+                ss, ii = lax.map(body, (corp, starts))  # (C, B, k)
+                ss = jnp.moveaxis(ss, 0, 1).reshape(q.shape[0], -1)
+                ii = jnp.moveaxis(ii, 0, 1).reshape(q.shape[0], -1)
+                s, j = lax.top_k(ss, k)
+                return s, jnp.take_along_axis(ii, j, axis=1)
+            sims = q @ corpus.T
+            valid = jnp.arange(n_rows)[None, :] < n_valid
+            sims = jnp.where(valid, sims, -jnp.inf)
+            return lax.top_k(sims, k)
+
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int = 5
+               ) -> List[List[Dict[str, object]]]:
+        """(B, D) query embeddings → per query a ranked list of
+        {"id", "score", "rank"} dicts. k is clamped to the corpus size."""
+        if not self.ids:
+            raise ValueError("index is empty")
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.dim:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != index dim {self.dim}")
+        k = max(1, min(int(k), len(self.ids)))
+        n = queries.shape[0]
+        if n > self.query_buckets[-1]:
+            step = self.query_buckets[-1]
+            out: List[List[Dict[str, object]]] = []
+            for i in range(0, n, step):
+                out.extend(self.search(queries[i: i + step], k))
+            return out
+        b = self._bucket(n)
+        if n < b:
+            queries = np.concatenate(
+                [queries, np.repeat(queries[-1:], b - n, axis=0)])
+        corpus = self._corpus()
+        key = (corpus.shape[0], b, k)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._make_search(corpus.shape[0], k)
+        scores, idx = self._search_cache[key](
+            corpus, np.int32(len(self.ids)), queries)
+        scores = np.asarray(scores)[:n]
+        idx = np.asarray(idx)[:n]
+        return [
+            [{"id": self.ids[int(j)], "score": float(s), "rank": r}
+             for r, (j, s) in enumerate(zip(row_i, row_s))]
+            for row_i, row_s in zip(idx, scores)
+        ]
+
+    # ---- persistence ----------------------------------------------------
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, embeddings=self._emb,
+            ids=np.array(self.ids, dtype=object),
+            meta=json.dumps({"pad_multiple": self.pad_multiple,
+                             "score_chunk": self.score_chunk}))
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> "RetrievalIndex":
+        with np.load(path, allow_pickle=True) as z:
+            meta = json.loads(str(z["meta"])) if "meta" in z else {}
+            meta.update(kwargs)
+            idx = cls(**meta)
+            emb = np.asarray(z["embeddings"], np.float32)
+            if emb.size:
+                idx.add(emb, [str(i) for i in z["ids"]])
+        return idx
