@@ -50,8 +50,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     params = towers.init(jax.random.PRNGKey(0), tower_cfg)
     ckpt = str(exp.resume) if exp.resume else exp.cfg.arch.load_checkpoint
     if ckpt:
-        logger.info("loading weights from %s", ckpt)
-        params = ckptlib.import_initial_weights(ckpt, tower_cfg, params)
+        use_ema = bool(getattr(exp.args, "ema", False))
+        logger.info("loading %sweights from %s", "EMA " if use_ema else "", ckpt)
+        params = ckptlib.import_initial_weights(ckpt, tower_cfg, params,
+                                                prefer_ema=use_ema)
     else:
         logger.warning("no checkpoint given — evaluating RANDOM weights")
     params = shardlib.shard_params(mesh, params)

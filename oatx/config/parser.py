@@ -69,6 +69,9 @@ def build_argparser(custom_args: Sequence[CustomArg] = ()) -> argparse.ArgumentP
                    help="full-cut eval: every caption as a query, query masks for "
                         "videos with fewer captions")
     p.add_argument("--split", default=None, type=str)
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the EMA params of an oatx snapshot "
+                        "(trained with trainer.ema_decay)")
     p.add_argument("--sims_out", default=None, type=str,
                    help="eval: save the raw similarity matrix to this .npy path")
     for flags, typ, _ in list(custom_args) + DEFAULT_CUSTOM_ARGS:

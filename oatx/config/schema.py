@@ -291,6 +291,11 @@ class TrainerCfg:
     pipeline_microbatches: int = 4
     cycle_shorter: bool = False  # wrap shorter loaders instead of truncating
     skip_nonfinite: bool = False  # non-finite loss/grad step = no-op (crash-free)
+    ema_decay: float = 0.0     # >0: keep a post-update parameter EMA in the
+    # optimizer state (optim.ema_of_params) — checkpointed/sharded with the
+    # moments; beyond the reference. Typical 0.999-0.9999.
+    ema_eval: bool = True      # validate (and monitor best) with the EMA
+    # params when ema_decay > 0; raw params otherwise
     async_checkpoint: bool = False  # commit periodic/best snapshots in a
     # background thread (Orbax AsyncCheckpointer): training resumes after the
     # device→host copy instead of stalling for the full ~GB state write.

@@ -148,15 +148,36 @@ def restore_checkpoint(path: str | Path, state_template) -> Tuple[Any, Dict[str,
     return restored, meta
 
 
+def _find_ema_subtree(tree):
+    """Locate an EmaState's 'ema' param tree in a template-free orbax restore
+    (namedtuples come back as plain containers, so search by the field name)."""
+    if isinstance(tree, dict):
+        if "ema" in tree and isinstance(tree["ema"], dict):
+            return tree["ema"]
+        for v in tree.values():
+            hit = _find_ema_subtree(v)
+            if hit is not None:
+                return hit
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            hit = _find_ema_subtree(v)
+            if hit is not None:
+                return hit
+    return None
+
+
 def import_initial_weights(
     load_checkpoint: str,
     tower_cfg,
     fresh_params,
     temporal_fix: str = "zeros",
+    prefer_ema: bool = False,
 ):
     """Reference `load_checkpoint` semantics (model.py:74-79): if the path is a
     torch .pth/.pth.tar, convert; if it is an oatx/orbax snapshot, restore params
-    only; '' → fresh params."""
+    only; '' → fresh params. prefer_ema=True loads the EMA params from a
+    snapshot trained with trainer.ema_decay (falls back to raw params, with a
+    warning, when the snapshot carries no EMA)."""
     if not load_checkpoint:
         return fresh_params
     p = Path(load_checkpoint)
@@ -175,4 +196,13 @@ def import_initial_weights(
 
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(p.resolve())
+    if prefer_ema:
+        ema = _find_ema_subtree(restored.get("opt_state"))
+        if ema is not None:
+            return ema
+        import logging
+
+        logging.getLogger("oatx.checkpoint").warning(
+            "--ema requested but %s carries no EMA state (trained without "
+            "trainer.ema_decay?) — using raw params", p)
     return restored["params"]

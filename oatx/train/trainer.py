@@ -164,7 +164,8 @@ class Trainer:
         self.optimizer = optimlib.make_optimizer(
             lr=schedule, weight_decay=exp.optimizer.weight_decay,
             grad_clip=exp.optimizer.grad_clip,
-            trainable_filter=tf)
+            trainable_filter=tf,
+            ema_decay=t.ema_decay or None)
 
         # params: fresh init → optional reference-checkpoint import → shard
         rng = jax.random.PRNGKey(t.seed)
@@ -500,6 +501,12 @@ class Trainer:
         log: Dict[str, float] = {}
         from oatx.data.loader import padded_batches
 
+        eval_params = self.state.params
+        t = self.exp.trainer
+        if t.ema_decay and t.ema_eval:
+            ema = optimlib.find_ema(self.state.opt_state)
+            if ema is not None:  # validate/monitor the EMA model
+                eval_params = ema
         multiple = max((l.batch_size for l in self.valid_loaders), default=1)
         multiple = max(multiple, self.mesh.shape[meshlib.DATA_AXIS])
         for vi, loader in enumerate(self.valid_loaders):
@@ -507,7 +514,7 @@ class Trainer:
             for batch, n_valid in device_prefetch(
                     padded_batches(iter(loader), multiple), self.mesh):
                 batch.pop("meta", None)
-                out = self.eval_step(self.state.params, batch)
+                out = self.eval_step(eval_params, batch)
                 self._gather_valid(out, n_valid, texts, vids)
                 self.watchdog.beat()  # long validations are not hangs
             if not texts:
