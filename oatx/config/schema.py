@@ -296,6 +296,12 @@ class TrainerCfg:
     # moments; beyond the reference. Typical 0.999-0.9999.
     ema_eval: bool = True      # validate (and monitor best) with the EMA
     # params when ema_decay > 0; raw params otherwise
+    profile_epoch: int = 0     # >0: capture a jax.profiler device trace during
+    # this epoch (steps [profile_start_step, +profile_steps)), written to
+    # <log_dir>/profile and summarized into the run log — in-run counterpart
+    # of tools/exp_step_trace.py
+    profile_start_step: int = 5   # past warm-up/compile steps
+    profile_steps: int = 4
     async_checkpoint: bool = False  # commit periodic/best snapshots in a
     # background thread (Orbax AsyncCheckpointer): training resumes after the
     # device→host copy instead of stalling for the full ~GB state write.

@@ -59,6 +59,10 @@ class Trainer:
         t = exp.trainer
         self.logger = setup_logging(log_dir, "oatx.trainer", t.verbosity)
         self.writer = TensorboardWriter(log_dir)
+        self.profile_dir = Path(log_dir or save_dir or ".") / "profile"
+        self._profiling = False
+        self._profile_done = False
+        self._profile_stop = 0
         self.tracker = tracker
         self.save_dir = Path(save_dir) if save_dir else None
         self.train_loaders = train_loaders
@@ -425,6 +429,7 @@ class Trainer:
                 "skipped", 0.0)  # on-device: no sync; == step count unless skipping
             steps_per_loader[loader_idx] += 1
             self.watchdog.beat()
+            self._profile_hook(epoch, sum(steps_per_loader), metrics)
             if loader_idx == len(self.train_loaders) - 1:
                 cycles_done += 1
             if self._preempted:
@@ -454,6 +459,9 @@ class Trainer:
                 t0 = time.time()
             if cycles_done >= self.cycles_per_epoch:
                 break
+        if self._profiling and last_metrics is not None:
+            # epoch (or preemption) ended inside the capture window
+            self._finish_profile(last_metrics)
         if last_metrics is not None:
             _ = float(last_metrics["loss"])  # drain device queue
         wall = time.perf_counter() - wall_start
@@ -496,6 +504,45 @@ class Trainer:
         else:
             texts.append(np.asarray(out["text_embeds"])[:n_valid])
             vids.append(np.asarray(out["video_embeds"])[:n_valid])
+
+    # ------------------------------------------------------------- profiling
+
+    def _profile_hook(self, epoch: int, total_steps: int, metrics) -> None:
+        """Config-gated jax.profiler capture inside the real training loop
+        (`trainer.profile_epoch/profile_start_step/profile_steps`) — the in-run
+        counterpart of tools/exp_step_trace.py. The start/stop fences fetch the
+        loss so the window holds exactly the requested steps (on the tunneled
+        TPU platform dispatch returns early; a fence is the only real sync)."""
+        t = self.exp.trainer
+        if (self._profile_done or not t.profile_epoch
+                or epoch != t.profile_epoch):
+            return
+        import jax
+
+        if jax.process_index() != 0:
+            self._profile_done = True
+            return
+        if not self._profiling and total_steps >= t.profile_start_step:
+            _ = float(metrics["loss"])  # fence: prior steps stay out
+            self.profile_dir.mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(str(self.profile_dir))
+            self._profiling = True
+            self._profile_stop = total_steps + t.profile_steps
+        elif self._profiling and total_steps >= self._profile_stop:
+            self._finish_profile(metrics)
+
+    def _finish_profile(self, metrics) -> None:
+        import jax
+
+        from oatx.utils import profiler as proflib
+
+        _ = float(metrics["loss"])  # fence: the last step completes on device
+        jax.profiler.stop_trace()
+        self._profiling, self._profile_done = False, True
+        self.logger.info("profiler trace captured → %s", self.profile_dir)
+        for row in proflib.summarize_trace(str(self.profile_dir), top=5):
+            self.logger.info("  trace: %-48s %9.2f ms total",
+                             row["name"][:48], row["total_ms"])
 
     def _valid_epoch(self, epoch: int) -> Dict[str, float]:
         log: Dict[str, float] = {}

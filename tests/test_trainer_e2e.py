@@ -253,3 +253,31 @@ def test_fwd_chunk_multichip_trainer_e2e(tmp_path):
     save_dir = tmp_path / "exps" / "models" / "e2e"
     meta = json.loads((save_dir / "model_best.meta.json").read_text())
     assert np.isfinite(meta["monitor_best"])
+
+
+def test_in_run_profiler_capture(tmp_path):
+    """trainer.profile_epoch captures a jax.profiler device trace inside the
+    real training loop (in-run counterpart of tools/exp_step_trace.py): with
+    profile_start_step=1/profile_steps=1 on a 2-step epoch the trace must land
+    in <log_dir>/profile and be summarizable, and the capture must run once."""
+    from oatx.config.schema import ExperimentCfg
+    from oatx.data.factory import build_loaders
+    from oatx.data.tokenizer import WordPieceTokenizer
+    from oatx.train.trainer import Trainer
+    from oatx.utils.profiler import summarize_trace
+
+    cfg = _smoke_config(tmp_path)
+    cfg["trainer"].update(epochs=2, profile_epoch=1,
+                          profile_start_step=1, profile_steps=1)
+    exp = ExperimentCfg.from_dict(cfg)
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"clip {i}" for i in range(30)], vocab_size=256)
+    tr = Trainer(exp, build_loaders(exp, tok),
+                 save_dir=None, log_dir=tmp_path / "log")
+    tr.train()
+    assert tr._profile_done and not tr._profiling
+    traces = list((tmp_path / "log" / "profile").glob(
+        "plugins/profile/*/*.trace.json.gz"))
+    assert traces, "no trace file captured under log_dir/profile"
+    rows = summarize_trace(str(tmp_path / "log" / "profile"), top=3)
+    assert rows and all(r["total_ms"] >= 0 for r in rows)
