@@ -112,3 +112,53 @@ def test_fsdp_sharding_is_numerically_identical():
     a = jax.jit(lambda p, v: vst.apply(p, cfg, v)["cls"])(p_rep, video)
     b = jax.jit(lambda p, v: vst.apply(p, cfg, v)["cls"])(p_fsdp, video)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("arch_config,dims", [
+    ("large_patch16_224", (1024, 24, 16, 16)),
+    ("huge_patch14_224", (1280, 32, 16, 14)),
+])
+def test_large_arch_table_entries(arch_config, dims):
+    """ViT-L/16 and ViT-H/14 geometry names resolve through the config system
+    (oatx extension — the reference ships ViT-B only)."""
+    from oatx.config.schema import ArchCfg, build_tower_config
+
+    d, depth, heads, patch = dims
+    arch = ArchCfg.from_dict({
+        "type": "FrozenInTime", "variant": "baseline",
+        "args": {
+            "video_params": {"model": "SpaceTimeTransformer",
+                             "arch_config": arch_config,
+                             "num_frames": 2, "pretrained": False},
+            "text_params": {"model": "distilbert-base-uncased",
+                            "pretrained": False},
+            "projection": "minimal", "projection_dim": 256,
+        },
+    })
+    cfg = build_tower_config(arch)
+    assert (cfg.video.embed_dim, cfg.video.depth,
+            cfg.video.num_heads, cfg.video.patch_size) == (d, depth, heads, patch)
+    assert cfg.video.img_size % cfg.video.patch_size == 0
+
+
+def test_vit_large_geometry_sharded_step():
+    """Trimmed-depth ViT-L tensor geometry (dim 1024, 16 heads, patch 16) runs
+    fwd+grad under TP=2 on the mesh — catches head/dim divisibility and layout
+    issues the dim-64 toy tests cannot (16 heads / model=2 → 8 heads Dh=64 per
+    shard)."""
+    import jax
+    from oatx.models import vit_spacetime as vst
+
+    mesh = meshlib.make_mesh(8, model_parallel=2)
+    cfg = vst.SpaceTimeViTConfig(img_size=112, patch_size=16, embed_dim=1024,
+                                 depth=2, num_heads=16, num_frames=2,
+                                 time_init="zeros")
+    params = sharding.shard_params(mesh, vst.init(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    video = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, 2, 112, 112, 3)), jnp.float32),
+        meshlib.batch_sharding(mesh))
+    g = jax.jit(jax.grad(lambda p, v: jnp.sum(vst.apply(p, cfg, v)["cls"] ** 2)))(
+        params, video)
+    leaf = g["blocks"]["mlp"]["fc1"]["kernel"]
+    assert leaf.shape[-1] == 4096 and np.isfinite(np.asarray(leaf).sum())
