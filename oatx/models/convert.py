@@ -195,6 +195,8 @@ def frozen_in_time_from_torch(
         from oatx.models.bert import BertConfig, bert_from_torch
 
         text = bert_from_torch(sd, text_cfg or BertConfig())
+    elif text_family == "clip":
+        text, _ = clip_text_from_torch(sd)
     else:
         text = distilbert_from_torch(sd, text_cfg or dbert.DistilBertConfig())
     out: Params = {"video": video, "text": text}
@@ -222,6 +224,98 @@ def frozen_in_time_from_torch(
 def _t_out(kernel) -> np.ndarray:
     """jax kernel (in, out) → torch Linear weight (out, in)."""
     return np.ascontiguousarray(np.asarray(kernel).T)
+
+
+def _export_distilbert_text(sd: Dict[str, np.ndarray], t: Params) -> None:
+    """Inverse of distilbert_from_torch: HF DistilBertModel key schema under
+    the reference's 'text_model.' prefix (model.py:30-40 instantiates
+    AutoModel 'distilbert-base-uncased' as self.text_model)."""
+    sd["text_model.embeddings.word_embeddings.weight"] = np.asarray(t["embeddings"]["word"])
+    sd["text_model.embeddings.position_embeddings.weight"] = np.asarray(t["embeddings"]["position"])
+    sd["text_model.embeddings.LayerNorm.weight"] = np.asarray(t["embeddings"]["ln"]["scale"])
+    sd["text_model.embeddings.LayerNorm.bias"] = np.asarray(t["embeddings"]["ln"]["bias"])
+    n_layers = t["layers"]["sa_ln"]["scale"].shape[0]
+    for i in range(n_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i], t["layers"])
+        p = f"text_model.transformer.layer.{i}"
+        for src, dst in (("q", "q_lin"), ("k", "k_lin"), ("v", "v_lin"), ("out", "out_lin")):
+            sd[f"{p}.attention.{dst}.weight"] = _t_out(lp["attn"][src]["kernel"])
+            sd[f"{p}.attention.{dst}.bias"] = np.asarray(lp["attn"][src]["bias"])
+        sd[f"{p}.sa_layer_norm.weight"] = np.asarray(lp["sa_ln"]["scale"])
+        sd[f"{p}.sa_layer_norm.bias"] = np.asarray(lp["sa_ln"]["bias"])
+        sd[f"{p}.ffn.lin1.weight"] = _t_out(lp["ffn"]["lin1"]["kernel"])
+        sd[f"{p}.ffn.lin1.bias"] = np.asarray(lp["ffn"]["lin1"]["bias"])
+        sd[f"{p}.ffn.lin2.weight"] = _t_out(lp["ffn"]["lin2"]["kernel"])
+        sd[f"{p}.ffn.lin2.bias"] = np.asarray(lp["ffn"]["lin2"]["bias"])
+        sd[f"{p}.output_layer_norm.weight"] = np.asarray(lp["out_ln"]["scale"])
+        sd[f"{p}.output_layer_norm.bias"] = np.asarray(lp["out_ln"]["bias"])
+
+
+def _export_bert_text(sd: Dict[str, np.ndarray], t: Params) -> None:
+    """Inverse of bert.bert_from_torch: HF BertModel key schema under
+    'text_model.' (the reference accepts text_params.model='bert-base-uncased',
+    model.py:30-40; pooler output pooled at model.py:106-108)."""
+    e = t["embeddings"]
+    sd["text_model.embeddings.word_embeddings.weight"] = np.asarray(e["word"])
+    sd["text_model.embeddings.position_embeddings.weight"] = np.asarray(e["position"])
+    sd["text_model.embeddings.token_type_embeddings.weight"] = np.asarray(e["token_type"])
+    sd["text_model.embeddings.LayerNorm.weight"] = np.asarray(e["ln"]["scale"])
+    sd["text_model.embeddings.LayerNorm.bias"] = np.asarray(e["ln"]["bias"])
+    n_layers = t["layers"]["attn_ln"]["scale"].shape[0]
+    for i in range(n_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i], t["layers"])
+        p = f"text_model.encoder.layer.{i}"
+        for src, dst in (("q", "attention.self.query"), ("k", "attention.self.key"),
+                         ("v", "attention.self.value"), ("out", "attention.output.dense")):
+            sd[f"{p}.{dst}.weight"] = _t_out(lp["attn"][src]["kernel"])
+            sd[f"{p}.{dst}.bias"] = np.asarray(lp["attn"][src]["bias"])
+        sd[f"{p}.attention.output.LayerNorm.weight"] = np.asarray(lp["attn_ln"]["scale"])
+        sd[f"{p}.attention.output.LayerNorm.bias"] = np.asarray(lp["attn_ln"]["bias"])
+        sd[f"{p}.intermediate.dense.weight"] = _t_out(lp["intermediate"]["kernel"])
+        sd[f"{p}.intermediate.dense.bias"] = np.asarray(lp["intermediate"]["bias"])
+        sd[f"{p}.output.dense.weight"] = _t_out(lp["output"]["kernel"])
+        sd[f"{p}.output.dense.bias"] = np.asarray(lp["output"]["bias"])
+        sd[f"{p}.output.LayerNorm.weight"] = np.asarray(lp["out_ln"]["scale"])
+        sd[f"{p}.output.LayerNorm.bias"] = np.asarray(lp["out_ln"]["bias"])
+    sd["text_model.pooler.dense.weight"] = _t_out(t["pooler"]["kernel"])
+    sd["text_model.pooler.dense.bias"] = np.asarray(t["pooler"]["bias"])
+
+
+def _export_clip_text(sd: Dict[str, np.ndarray], t: Params, prefix: str = "") -> None:
+    """Inverse of clip_text_from_torch: vendored-CLIP text-side key schema
+    (Visualization/.../clip/model.py:222-249 — token_embedding /
+    positional_embedding / transformer.resblocks.* / ln_final /
+    text_projection). prefix='' yields bare keys loadable straight into the
+    vendored CLIP module (strict=False for the visual half)."""
+    sd[f"{prefix}token_embedding.weight"] = np.asarray(t["token_embedding"])
+    sd[f"{prefix}positional_embedding"] = np.asarray(t["positional_embedding"])
+    n_layers = t["blocks"]["ln_1"]["scale"].shape[0]
+    for i in range(n_layers):
+        bp = jax.tree_util.tree_map(lambda a: a[i], t["blocks"])
+        p = f"{prefix}transformer.resblocks.{i}"
+        for ln in ("ln_1", "ln_2"):
+            sd[f"{p}.{ln}.weight"] = np.asarray(bp[ln]["scale"])
+            sd[f"{p}.{ln}.bias"] = np.asarray(bp[ln]["bias"])
+        sd[f"{p}.attn.in_proj_weight"] = _t_out(bp["attn"]["qkv"]["kernel"])
+        sd[f"{p}.attn.in_proj_bias"] = np.asarray(bp["attn"]["qkv"]["bias"])
+        sd[f"{p}.attn.out_proj.weight"] = _t_out(bp["attn"]["out"]["kernel"])
+        sd[f"{p}.attn.out_proj.bias"] = np.asarray(bp["attn"]["out"]["bias"])
+        sd[f"{p}.mlp.c_fc.weight"] = _t_out(bp["mlp"]["fc1"]["kernel"])
+        sd[f"{p}.mlp.c_fc.bias"] = np.asarray(bp["mlp"]["fc1"]["bias"])
+        sd[f"{p}.mlp.c_proj.weight"] = _t_out(bp["mlp"]["fc2"]["kernel"])
+        sd[f"{p}.mlp.c_proj.bias"] = np.asarray(bp["mlp"]["fc2"]["bias"])
+    sd[f"{prefix}ln_final.weight"] = np.asarray(t["ln_final"]["scale"])
+    sd[f"{prefix}ln_final.bias"] = np.asarray(t["ln_final"]["bias"])
+    # text_projection is a raw Parameter used as x @ W — exported untransposed
+    sd[f"{prefix}text_projection"] = np.asarray(t["text_projection"])
+
+
+def clip_text_to_torch(params: Params) -> Dict[str, np.ndarray]:
+    """oatx clip_text param tree → bare vendored-CLIP text-side state_dict
+    (round-trips with clip_text_from_torch)."""
+    sd: Dict[str, np.ndarray] = {}
+    _export_clip_text(sd, params, prefix="")
+    return sd
 
 
 def frozen_in_time_to_torch(
@@ -262,27 +356,15 @@ def frozen_in_time_to_torch(
         sd[f"{p}.mlp.fc2.bias"] = np.asarray(bp["mlp"]["fc2"]["bias"])
 
     t = params["text"]
-    if text_family != "distilbert":
-        raise NotImplementedError("export currently covers the distilbert tower")
-    sd["text_model.embeddings.word_embeddings.weight"] = np.asarray(t["embeddings"]["word"])
-    sd["text_model.embeddings.position_embeddings.weight"] = np.asarray(t["embeddings"]["position"])
-    sd["text_model.embeddings.LayerNorm.weight"] = np.asarray(t["embeddings"]["ln"]["scale"])
-    sd["text_model.embeddings.LayerNorm.bias"] = np.asarray(t["embeddings"]["ln"]["bias"])
-    n_layers = t["layers"]["sa_ln"]["scale"].shape[0]
-    for i in range(n_layers):
-        lp = jax.tree_util.tree_map(lambda a: a[i], t["layers"])
-        p = f"text_model.transformer.layer.{i}"
-        for src, dst in (("q", "q_lin"), ("k", "k_lin"), ("v", "v_lin"), ("out", "out_lin")):
-            sd[f"{p}.attention.{dst}.weight"] = _t_out(lp["attn"][src]["kernel"])
-            sd[f"{p}.attention.{dst}.bias"] = np.asarray(lp["attn"][src]["bias"])
-        sd[f"{p}.sa_layer_norm.weight"] = np.asarray(lp["sa_ln"]["scale"])
-        sd[f"{p}.sa_layer_norm.bias"] = np.asarray(lp["sa_ln"]["bias"])
-        sd[f"{p}.ffn.lin1.weight"] = _t_out(lp["ffn"]["lin1"]["kernel"])
-        sd[f"{p}.ffn.lin1.bias"] = np.asarray(lp["ffn"]["lin1"]["bias"])
-        sd[f"{p}.ffn.lin2.weight"] = _t_out(lp["ffn"]["lin2"]["kernel"])
-        sd[f"{p}.ffn.lin2.bias"] = np.asarray(lp["ffn"]["lin2"]["bias"])
-        sd[f"{p}.output_layer_norm.weight"] = np.asarray(lp["out_ln"]["scale"])
-        sd[f"{p}.output_layer_norm.bias"] = np.asarray(lp["out_ln"]["bias"])
+    if text_family == "distilbert":
+        _export_distilbert_text(sd, t)
+    elif text_family == "bert":
+        _export_bert_text(sd, t)
+    elif text_family == "clip":
+        _export_clip_text(sd, t, prefix="text_model.")
+    else:
+        raise NotImplementedError(
+            f"export covers distilbert/bert/clip text towers, got {text_family!r}")
 
     if "txt_proj" in params:
         sd["txt_proj.1.weight"] = _t_out(params["txt_proj"]["kernel"])
@@ -304,11 +386,12 @@ def frozen_in_time_to_torch(
 
 def export_torch_checkpoint(path: str, params: Params,
                             video_cfg: vst.SpaceTimeViTConfig,
-                            epoch: int = 0) -> str:
+                            epoch: int = 0,
+                            text_family: str = "distilbert") -> str:
     """Write a reference-compatible .pth ({'state_dict': ..., 'epoch': ...})."""
     import torch
 
-    sd = frozen_in_time_to_torch(params, video_cfg)
+    sd = frozen_in_time_to_torch(params, video_cfg, text_family=text_family)
     torch.save({"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
                                for k, v in sd.items()},
                 "epoch": epoch}, path)
@@ -325,6 +408,10 @@ def clip_text_from_torch(sd: Dict[str, np.ndarray]):
     from oatx.models import clip_text as ct
 
     sd = strip_data_parallel_prefix(sd)
+    # accept a FrozenInTime-style 'text_model.' prefix (oatx clip export)
+    if any(k.startswith("text_model.token_embedding") for k in sd):
+        sd = {k[len("text_model."):]: v for k, v in sd.items()
+              if k.startswith("text_model.")}
     n_layers = len({k.split(".")[2] for k in sd
                     if k.startswith("transformer.resblocks.")})
     width = int(sd["ln_final.weight"].shape[0])

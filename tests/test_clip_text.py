@@ -370,3 +370,37 @@ def test_clip_family_global_local_rejected():
         text_family="clip", variant="global_local", projection_dim=16)
     with pytest.raises(NotImplementedError):
         towers.init(jax.random.PRNGKey(0), cfg)
+
+
+def test_clip_text_export_roundtrip_and_oracle_load(torch_clip):
+    """oatx→torch export of the CLIP text tower (VERDICT r3 item 6): bare keys
+    load into the vendored reference CLIP with zero text-side missing keys, and
+    the re-imported tree reproduces encode_text exactly."""
+    torch, model = torch_clip
+    params, cfg = convert.clip_text_from_torch(
+        {k: v.numpy() for k, v in model.state_dict().items()})
+
+    sd = convert.clip_text_to_torch(params)
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False)
+    assert unexpected == []
+    # every missing key must belong to the visual/logit half, not the text side
+    text_side = ("token_embedding", "positional_embedding", "transformer.",
+                 "ln_final", "text_projection")
+    assert [k for k in missing if k.startswith(text_side)] == []
+
+    back, cfg2 = convert.clip_text_from_torch(sd)
+    assert cfg2 == cfg
+    rng = np.random.default_rng(7)
+    ids = _rand_ids(rng, 4, TINY["context_length"], TINY["vocab_size"], None)
+    a = np.asarray(ct.encode_text(params, cfg, jnp.asarray(ids)))
+    b = np.asarray(ct.encode_text(back, cfg2, jnp.asarray(ids)))
+    np.testing.assert_array_equal(a, b)
+
+    # and the 'text_model.'-prefixed FrozenInTime-style export round-trips too
+    prefixed = {}
+    convert._export_clip_text(prefixed, params, prefix="text_model.")
+    back2, _ = convert.clip_text_from_torch(prefixed)
+    c = np.asarray(ct.encode_text(back2, cfg, jnp.asarray(ids)))
+    np.testing.assert_array_equal(a, c)

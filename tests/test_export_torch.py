@@ -97,3 +97,64 @@ def test_export_variant_head_names():
     vl = torch.nn.Sequential(torch.nn.Linear(32, 8))
     vl.load_state_dict({k.split("vid_local_proj.")[1]: torch.from_numpy(v)
                         for k, v in sd.items() if k.startswith("vid_local_proj.")})
+
+
+def test_export_import_roundtrip_bert(tmp_path, rng):
+    """bert text tower exports under HF BertModel key schema (reference
+    model.py:30-40 accepts 'bert-base-uncased') and round-trips exactly."""
+    from oatx.models.bert import BertConfig
+
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=2, num_heads=2, num_frames=2),
+        text=BertConfig(vocab_size=64, max_position_embeddings=16,
+                        type_vocab_size=2, dim=32, hidden_dim=64,
+                        n_layers=2, n_heads=2),
+        text_family="bert", projection_dim=8)
+    params = towers.init(jax.random.PRNGKey(5), cfg)
+
+    path = str(tmp_path / "export_bert.pth")
+    convert.export_torch_checkpoint(path, params, cfg.video, text_family="bert")
+    sd = convert.load_torch_checkpoint(path)
+    back = convert.frozen_in_time_from_torch(
+        sd, cfg.video, cfg.text, fresh_video_params=params["video"],
+        text_family="bert")
+
+    batch = {
+        "video": jnp.array(rng.standard_normal((2, 2, 32, 32, 3)), jnp.float32),
+        "input_ids": jnp.array(rng.integers(0, 64, (2, 8))),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    t0, v0 = towers.forward_baseline(params, cfg, batch)
+    t1, v1 = towers.forward_baseline(back, cfg, batch)
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
+
+
+def test_export_bert_loads_into_hf_bertmodel():
+    """Zero-missing-key load into the reference-schema torch module
+    (transformers.BertModel) — VERDICT r3 item 6 acceptance."""
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel
+
+    from oatx.models.bert import BertConfig
+
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=1, num_heads=2, num_frames=1),
+        text=BertConfig(vocab_size=64, max_position_embeddings=16,
+                        type_vocab_size=2, dim=32, hidden_dim=64,
+                        n_layers=2, n_heads=2),
+        text_family="bert", projection_dim=8)
+    params = towers.init(jax.random.PRNGKey(6), cfg)
+    sd = convert.frozen_in_time_to_torch(params, cfg.video, text_family="bert")
+    text_sd = {k[len("text_model."):]: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items() if k.startswith("text_model.")}
+    hf = BertModel(HFBertConfig(
+        vocab_size=64, max_position_embeddings=16, type_vocab_size=2,
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2))
+    missing, unexpected = hf.load_state_dict(text_sd, strict=False)
+    # non-persistent buffers (position_ids) may be "missing"; no real params may be
+    assert [k for k in missing if not k.endswith("position_ids")] == []
+    assert unexpected == []
