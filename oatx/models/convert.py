@@ -398,6 +398,92 @@ def export_torch_checkpoint(path: str, params: Params,
     return path
 
 
+# ------------------------------------------------------------- CLIP vision
+
+def clip_vision_from_torch(sd: Dict[str, np.ndarray]):
+    """OpenAI/vendored-CLIP state_dict → (params, ClipVisionConfig) for
+    oatx.models.clip_vision. Accepts a full CLIP state_dict (text side
+    ignored) or just the visual.* keys; geometry is inferred the way the
+    reference's build_model does (Visualization/.../clip/model.py:405-416)."""
+    from oatx.models import clip_vision as cv
+
+    sd = strip_data_parallel_prefix(sd)
+    if any(k.startswith("visual.") for k in sd):
+        sd = {k[len("visual."):]: v for k, v in sd.items()
+              if k.startswith("visual.")}
+    conv1 = sd["conv1.weight"]  # (O, I, kh, kw)
+    width = int(conv1.shape[0])
+    patch_size = int(conv1.shape[-1])
+    n_layers = len({k.split(".")[2] for k in sd
+                    if k.startswith("transformer.resblocks.")})
+    grid = int(round((sd["positional_embedding"].shape[0] - 1) ** 0.5))
+    cfg = cv.ClipVisionConfig(
+        input_resolution=grid * patch_size,
+        patch_size=patch_size,
+        width=width,
+        heads=width // 64,
+        layers=n_layers,
+        output_dim=int(sd["proj"].shape[1]),
+    )
+    blocks = []
+    for i in range(n_layers):
+        p = f"transformer.resblocks.{i}"
+        blocks.append({
+            "ln_1": _ln(sd, f"{p}.ln_1"),
+            "attn": {
+                "qkv": {"kernel": _t(sd[f"{p}.attn.in_proj_weight"]),
+                        "bias": jnp.asarray(sd[f"{p}.attn.in_proj_bias"])},
+                "out": _dense(sd, f"{p}.attn.out_proj"),
+            },
+            "ln_2": _ln(sd, f"{p}.ln_2"),
+            "mlp": {"fc1": _dense(sd, f"{p}.mlp.c_fc"),
+                    "fc2": _dense(sd, f"{p}.mlp.c_proj")},
+        })
+    params = {
+        # torch conv OIHW → jax HWIO; conv1 has no bias
+        "conv1": {"kernel": jnp.asarray(
+            np.ascontiguousarray(conv1.transpose(2, 3, 1, 0)))},
+        "class_embedding": jnp.asarray(sd["class_embedding"]),
+        "positional_embedding": jnp.asarray(sd["positional_embedding"]),
+        "ln_pre": _ln(sd, "ln_pre"),
+        "blocks": stack_params(blocks),
+        "ln_post": _ln(sd, "ln_post"),
+        # proj is a raw Parameter used as x @ W — no transpose
+        "proj": jnp.asarray(sd["proj"]),
+    }
+    return params, cfg
+
+
+def clip_vision_to_torch(params: Params) -> Dict[str, np.ndarray]:
+    """oatx clip_vision param tree → bare vendored-CLIP visual-side state_dict
+    ('visual.'-prefixed; round-trips with clip_vision_from_torch)."""
+    sd: Dict[str, np.ndarray] = {}
+    sd["visual.conv1.weight"] = np.ascontiguousarray(
+        np.asarray(params["conv1"]["kernel"]).transpose(3, 2, 0, 1))
+    sd["visual.class_embedding"] = np.asarray(params["class_embedding"])
+    sd["visual.positional_embedding"] = np.asarray(params["positional_embedding"])
+    for ln in ("ln_pre", "ln_post"):
+        sd[f"visual.{ln}.weight"] = np.asarray(params[ln]["scale"])
+        sd[f"visual.{ln}.bias"] = np.asarray(params[ln]["bias"])
+    n_layers = params["blocks"]["ln_1"]["scale"].shape[0]
+    for i in range(n_layers):
+        bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        p = f"visual.transformer.resblocks.{i}"
+        for ln in ("ln_1", "ln_2"):
+            sd[f"{p}.{ln}.weight"] = np.asarray(bp[ln]["scale"])
+            sd[f"{p}.{ln}.bias"] = np.asarray(bp[ln]["bias"])
+        sd[f"{p}.attn.in_proj_weight"] = _t_out(bp["attn"]["qkv"]["kernel"])
+        sd[f"{p}.attn.in_proj_bias"] = np.asarray(bp["attn"]["qkv"]["bias"])
+        sd[f"{p}.attn.out_proj.weight"] = _t_out(bp["attn"]["out"]["kernel"])
+        sd[f"{p}.attn.out_proj.bias"] = np.asarray(bp["attn"]["out"]["bias"])
+        sd[f"{p}.mlp.c_fc.weight"] = _t_out(bp["mlp"]["fc1"]["kernel"])
+        sd[f"{p}.mlp.c_fc.bias"] = np.asarray(bp["mlp"]["fc1"]["bias"])
+        sd[f"{p}.mlp.c_proj.weight"] = _t_out(bp["mlp"]["fc2"]["kernel"])
+        sd[f"{p}.mlp.c_proj.bias"] = np.asarray(bp["mlp"]["fc2"]["bias"])
+    sd["visual.proj"] = np.asarray(params["proj"])
+    return sd
+
+
 # ------------------------------------------------------------- CLIP text
 
 def clip_text_from_torch(sd: Dict[str, np.ndarray]):
