@@ -104,6 +104,10 @@ def _load_lib():
     lib.oatx_write_test_video_ex.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint, ctypes.c_char_p, ctypes.c_int]
+    lib.oatx_transcode.restype = ctypes.c_int64
+    lib.oatx_transcode.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_int]
     lib.oatx_version.restype = ctypes.c_char_p
     _lib = lib
     return lib
@@ -245,3 +249,21 @@ def write_test_video(path: str, width: int = 128, height: int = 96,
                                       fps, seed & 0xFFFFFFFF, codec.encode(), gop)
     if rc != 0:
         raise DecodeError(f"test video write failed ({rc}): {path} [{codec}]")
+
+
+def transcode(in_path: str, out_path: str, codec: str = "libx264",
+              gop: int = 60, quality: int = 0) -> int:
+    """One-pass re-encode of a clip's video stream (same size/frame-rate,
+    non-video streams dropped) — the executable mitigation for GOP-bound
+    archival sources (PERF.md "Host decode plane v2": keyframe-seek decode
+    cost scales with GOP length; gop-250 x264 ≈ 3 cores/chip vs ~1 at
+    gop≤60, <1 for MJPEG). codec: 'libx264' (quality = crf, default 18) or
+    'mjpeg' (quality = qscale, default 2; container forced to AVI). Returns
+    the number of frames written. See tools/remux.py for the resumable
+    corpus driver."""
+    lib = _load_lib()
+    n = lib.oatx_transcode(in_path.encode(), out_path.encode(), codec.encode(),
+                           gop, quality)
+    if n < 0:
+        raise DecodeError(f"transcode failed ({n}): {in_path} -> {out_path}")
+    return int(n)

@@ -34,6 +34,7 @@ extern "C" {
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -696,6 +697,133 @@ int oatx_write_test_video_ex(const char* path, int width, int height, int n,
 int oatx_write_test_video(const char* path, int width, int height, int n,
                           int fps, unsigned seed) {
   return oatx_write_test_video_ex(path, width, height, n, fps, seed, "mjpeg", 0);
+}
+
+// One-pass re-encode helper for archival sources whose GOP length dominates
+// per-clip decode cost (keyframe-seek stepping decodes from the nearest
+// preceding keyframe: a gop-250 x264 clip costs ~3 cores/chip vs ~1 at
+// gop<=60 — PERF.md "Host decode plane v2"). Decodes every frame of
+// in_path's best video stream and re-encodes at the same size/rate with
+// `codec_name` (+gop), dropping non-video streams. quality: JPEG qscale for
+// mjpeg (2 = near-lossless), crf for libx264 (18 default). Returns frames
+// written (>=0) or a negative error code.
+int64_t oatx_transcode(const char* in_path, const char* out_path,
+                       const char* codec_name, int gop, int quality) {
+  Decoder d;
+  if (int rc = open_decoder(in_path, &d)) return -100 + rc;
+  const bool mjpeg = !codec_name || !std::strcmp(codec_name, "mjpeg");
+  const AVCodec* enc = mjpeg ? avcodec_find_encoder(AV_CODEC_ID_MJPEG)
+                             : avcodec_find_encoder_by_name(codec_name);
+  if (!enc) return -1;
+  AVFormatContext* ofmt = nullptr;
+  if (avformat_alloc_output_context2(&ofmt, nullptr, mjpeg ? "avi" : nullptr,
+                                     out_path) < 0) {
+    return -2;
+  }
+  AVStream* st = avformat_new_stream(ofmt, enc);
+  AVCodecContext* c = avcodec_alloc_context3(enc);
+  if (!st || !c) return -3;
+  AVRational fr = d.frame_rate.num ? d.frame_rate : AVRational{25, 1};
+  c->width = d.width;
+  c->height = d.height;
+  c->time_base = av_inv_q(fr);
+  c->framerate = fr;
+  if (mjpeg) {
+    c->pix_fmt = AV_PIX_FMT_YUVJ420P;
+    c->flags |= AV_CODEC_FLAG_QSCALE;
+    c->global_quality = FF_QP2LAMBDA * (quality > 0 ? quality : 2);
+  } else {
+    c->pix_fmt = AV_PIX_FMT_YUV420P;
+    if (gop > 0) c->gop_size = gop;
+    if (!std::strcmp(codec_name, "libx264")) {
+      av_opt_set(c->priv_data, "preset", "veryfast", 0);
+      char crf[16];
+      std::snprintf(crf, sizeof crf, "%d", quality > 0 ? quality : 18);
+      av_opt_set(c->priv_data, "crf", crf, 0);
+    } else {
+      c->bit_rate = (int64_t)d.width * d.height *
+                    (fr.den ? fr.num / fr.den : 25) / 2;
+    }
+  }
+  if (ofmt->oformat->flags & AVFMT_GLOBALHEADER) {
+    c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  }
+  if (avcodec_open2(c, enc, nullptr) < 0) return -4;
+  avcodec_parameters_from_context(st->codecpar, c);
+  st->time_base = c->time_base;
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&ofmt->pb, out_path, AVIO_FLAG_WRITE) < 0) return -5;
+  }
+  if (avformat_write_header(ofmt, nullptr) < 0) return -6;
+
+  SwsContext* sws = nullptr;
+  AVFrame* dec_frame = av_frame_alloc();
+  AVFrame* enc_frame = av_frame_alloc();
+  enc_frame->format = c->pix_fmt;
+  enc_frame->width = c->width;
+  enc_frame->height = c->height;
+  av_frame_get_buffer(enc_frame, 0);
+  AVPacket* in_pkt = av_packet_alloc();
+  AVPacket* out_pkt = av_packet_alloc();
+  int64_t written = 0;
+  bool fail = false;
+
+  auto drain_encoder = [&]() {
+    while (avcodec_receive_packet(c, out_pkt) == 0) {
+      if (out_pkt->duration <= 0) out_pkt->duration = 1;
+      av_packet_rescale_ts(out_pkt, c->time_base, st->time_base);
+      out_pkt->stream_index = st->index;
+      if (av_interleaved_write_frame(ofmt, out_pkt) < 0) fail = true;
+      av_packet_unref(out_pkt);
+      written++;
+    }
+  };
+  int64_t in_count = 0;
+  auto encode_one = [&](AVFrame* src) {
+    av_frame_make_writable(enc_frame);
+    if (!sws) {
+      sws = sws_getContext(src->width, src->height, (AVPixelFormat)src->format,
+                           c->width, c->height, c->pix_fmt, SWS_BILINEAR,
+                           nullptr, nullptr, nullptr);
+    }
+    if (!sws) { fail = true; return; }
+    sws_scale(sws, src->data, src->linesize, 0, src->height, enc_frame->data,
+              enc_frame->linesize);
+    // CFR output: pts = running input frame counter (presentation order out
+    // of the decoder; the encoder handles its own B-frame reordering)
+    enc_frame->pts = in_count++;
+    enc_frame->quality = c->global_quality;
+    if (avcodec_send_frame(c, enc_frame) == 0) drain_encoder();
+  };
+
+  while (av_read_frame(d.fmt, in_pkt) >= 0 && !fail) {
+    if (in_pkt->stream_index == d.stream_index) {
+      if (avcodec_send_packet(d.codec, in_pkt) == 0) {
+        while (avcodec_receive_frame(d.codec, dec_frame) == 0 && !fail) {
+          encode_one(dec_frame);
+        }
+      }
+    }
+    av_packet_unref(in_pkt);
+  }
+  // flush decoder then encoder
+  avcodec_send_packet(d.codec, nullptr);
+  while (avcodec_receive_frame(d.codec, dec_frame) == 0 && !fail) {
+    encode_one(dec_frame);
+  }
+  avcodec_send_frame(c, nullptr);
+  drain_encoder();
+  av_write_trailer(ofmt);
+
+  if (sws) sws_freeContext(sws);
+  av_packet_free(&in_pkt);
+  av_packet_free(&out_pkt);
+  av_frame_free(&dec_frame);
+  av_frame_free(&enc_frame);
+  avcodec_free_context(&c);
+  if (!(ofmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&ofmt->pb);
+  avformat_free_context(ofmt);
+  return fail ? -7 : written;
 }
 
 const char* oatx_version() { return "oatx_decode 0.2 (" LIBAVCODEC_IDENT ")"; }
