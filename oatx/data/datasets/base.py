@@ -75,6 +75,26 @@ class TextVideoDataset:
         self.video_params = cfg.video_params
         self.num_frames = cfg.num_frames
         self.canon = canon
+        # train_crop: 'device_canonical' (default — device RRC from the
+        # canonical center square; documented divergence in data/transforms.py)
+        # or 'reference_full_frame' (host-side torchvision-exact
+        # RandomResizedCrop over the FULL decoded frame; ships input_res²
+        # frames and the device augmenter skips its crop — the ablation lane
+        # for the crop divergence).
+        self.train_crop = (cfg.video_params or {}).get(
+            "train_crop", "device_canonical")
+        assert self.train_crop in ("device_canonical", "reference_full_frame"), \
+            f"unknown train_crop {self.train_crop!r}"
+        self.train_crop_res = int((cfg.video_params or {}).get("input_res", 224))
+        if self.train_crop == "reference_full_frame":
+            # baseline-ablation lane only: object frames / patch masks are
+            # rasterized on the canonical geometry, and mixed frame sizes
+            # would break the shared device augmenter
+            o = object_options
+            assert o is None or not (o.object_frame or o.patch_masks), (
+                "train_crop='reference_full_frame' supports the baseline "
+                "variant only (object_frame/patch_masks need the canonical "
+                "crop geometry)")
         self.loading = cfg.loading  # 'strict' | 'lax'
         self.opts = object_options or ObjectOptions()
         self.object_vocab = list(object_vocab) if object_vocab else None
@@ -164,15 +184,33 @@ class TextVideoDataset:
     def _frame_sample_mode(self) -> str:
         return "uniform" if self.split == "test" else "rand"
 
+    def _frame_res(self) -> int:
+        """Emitted frame size: input_res under the host-faithful train crop
+        (frames are pre-cropped), the canonical square otherwise."""
+        if self.train_crop == "reference_full_frame" and self.split == "train":
+            return self.train_crop_res
+        return self.canon
+
     def _black_frames(self, n: int) -> np.ndarray:
-        return np.zeros((n, self.canon, self.canon, 3), np.uint8)
+        r = self._frame_res()
+        return np.zeros((n, r, r, 3), np.uint8)
 
     def _read_video(self, path: str, rng: np.random.Generator,
                     fix_start: Optional[int] = None):
-        frames, idxs, vlen = vr.read_frames(
-            path, self.num_frames, sample=self._frame_sample_mode(),
-            fix_start=fix_start, rng=rng, short_side=self.canon)
-        frames = host_canonicalize(frames, self.canon)
+        if self.train_crop == "reference_full_frame" and self.split == "train":
+            # host-faithful lane: decode NATIVE size, torchvision-exact RRC
+            # over the full frame (per-clip box, seeded rng), ship input_res²
+            from oatx.data.transforms import host_reference_rrc
+
+            frames, idxs, vlen = vr.read_frames(
+                path, self.num_frames, sample=self._frame_sample_mode(),
+                fix_start=fix_start, rng=rng, short_side=0)
+            frames = host_reference_rrc(frames, rng, out=self.train_crop_res)
+        else:
+            frames, idxs, vlen = vr.read_frames(
+                path, self.num_frames, sample=self._frame_sample_mode(),
+                fix_start=fix_start, rng=rng, short_side=self.canon)
+            frames = host_canonicalize(frames, self.canon)
         if frames.shape[0] < self.num_frames:  # short video → repeat last frame
             pad = np.repeat(frames[-1:], self.num_frames - frames.shape[0], axis=0)
             frames = np.concatenate([frames, pad], axis=0)

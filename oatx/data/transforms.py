@@ -42,6 +42,10 @@ class TransformConfig:
     color_jitter: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # brightness, saturation, hue
     norm_mean: Tuple[float, float, float] = IMAGENET_MEAN
     norm_std: Tuple[float, float, float] = IMAGENET_STD
+    host_precropped: bool = False  # frames arrive already RandomResizedCropped
+    # to input_res² by the host (train_crop='reference_full_frame' on the
+    # dataset): the device-side train chain skips crop/resize and applies only
+    # flip + jitter + normalize.
 
 
 def normalize(x: jnp.ndarray, cfg: TransformConfig = TransformConfig()) -> jnp.ndarray:
@@ -155,7 +159,11 @@ def train_augment(
     """uint8 canonical frames (B, F, canon, canon, C) → augmented normalized float."""
     k_crop, k_flip, k_jit = jax.random.split(rng, 3)
     x = video_u8.astype(jnp.float32) / 255.0
-    x = random_resized_crop(k_crop, x, cfg)
+    if cfg.host_precropped:
+        assert x.shape[-2] == cfg.input_res, (
+            f"host_precropped expects input_res² frames, got {x.shape}")
+    else:
+        x = random_resized_crop(k_crop, x, cfg)
     x = random_hflip(k_flip, x)
     x = color_jitter(k_jit, x, cfg)
     return normalize(x, cfg)
@@ -172,6 +180,83 @@ def eval_transform(
 
 
 # ------------------------------------------------------------------ host side
+
+def tv_random_resized_crop_params(
+    rng: np.random.Generator, height: int, width: int,
+    scale: Tuple[float, float] = (0.5, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop.get_params, re-expressed over an explicit
+    np.random.Generator (oatx determinism convention): 10 attempts sampling
+    crop area = U(scale)·H·W and aspect = exp(U(log ratio)), integer sides via
+    round(sqrt(·)), accepted iff the box fits; else the deterministic fallback
+    (ratio-clamped center crop). This is the reference's train-crop geometry
+    (data_loader/transforms.py:12 RandomResizedCrop(224, scale=(0.5,1)));
+    oatx's default device-side crop diverges (canonical-center source square —
+    module docstring), so this host-faithful option exists to ABLATE that
+    divergence on real data. Returns (top, left, crop_h, crop_w)."""
+    area = float(height) * float(width)
+    log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = float(np.exp(rng.uniform(log_ratio[0], log_ratio[1])))
+        w = int(round(np.sqrt(target_area * aspect)))
+        h = int(round(np.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            top = int(rng.integers(0, height - h + 1))
+            left = int(rng.integers(0, width - w + 1))
+            return top, left, h, w
+    # fallback: ratio-clamped center crop (torchvision's exact formula)
+    in_ratio = float(width) / float(height)
+    if in_ratio < ratio[0]:
+        w = width
+        h = int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        h = height
+        w = int(round(h * ratio[1]))
+    else:
+        w, h = width, height
+    top = (height - h) // 2
+    left = (width - w) // 2
+    return top, left, h, w
+
+
+def _np_bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Half-pixel-center bilinear (align_corners=False, no antialias) over
+    (..., H, W, C) — the same sampling as resize_bilinear, on the host."""
+    h, w = img.shape[-3], img.shape[-2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0).reshape(-1, 1, 1)
+    wx = np.clip(xs - x0, 0.0, 1.0).reshape(1, -1, 1)
+    f = img.astype(np.float32)
+    rows0, rows1 = f[..., y0, :, :], f[..., y1, :, :]
+    p00, p01 = rows0[..., x0, :], rows0[..., x1, :]
+    p10, p11 = rows1[..., x0, :], rows1[..., x1, :]
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def host_reference_rrc(
+    frames_u8: np.ndarray, rng: np.random.Generator, out: int = 224,
+    scale: Tuple[float, float] = (0.5, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> np.ndarray:
+    """Reference-faithful train crop ON THE HOST: one torchvision-style
+    RandomResizedCrop box per clip over the FULL frame (torchvision applies one
+    get_params per tensor call → temporally consistent crops), bilinear to
+    out². (F, H, W, C) uint8 → (F, out, out, C) uint8."""
+    f, h, w, c = frames_u8.shape
+    top, left, ch, cw = tv_random_resized_crop_params(rng, h, w, scale, ratio)
+    crop = frames_u8[:, top: top + ch, left: left + cw, :]
+    res = _np_bilinear_resize(crop, out, out)
+    return np.clip(np.rint(res), 0, 255).astype(np.uint8)
+
 
 def host_canonicalize(frames_u8: np.ndarray, canon: int = 256) -> np.ndarray:
     """Center-crop short-side-resized uint8 frames (F, H, W, C) to (F, canon,

@@ -255,7 +255,24 @@ class Trainer:
                 if not (self.monitor_mode == "max" and mb == float("inf")):
                     self.monitor_best = mb
 
-        self.augment = steplib.make_augmenter(train=True, tower_cfg=self.tower_cfg)
+        precropped = [getattr(l.dataset, "train_crop", "device_canonical")
+                      == "reference_full_frame" for l in train_loaders]
+        if any(precropped):
+            # host-faithful RRC lane: datasets ship input_res² frames already
+            # cropped; the device chain must skip its crop (data/transforms.py)
+            assert all(precropped), (
+                "train_crop='reference_full_frame' must be set on ALL train "
+                "loaders (the device augmenter is shared)")
+            from oatx.data import transforms as _T
+
+            self.augment = steplib.make_augmenter(
+                transform_cfg=_T.TransformConfig(
+                    input_res=self.tower_cfg.video.img_size,
+                    host_precropped=True),
+                train=True, tower_cfg=self.tower_cfg)
+        else:
+            self.augment = steplib.make_augmenter(train=True,
+                                                  tower_cfg=self.tower_cfg)
         fwd_chunk = getattr(t, "fwd_chunk", 0) or None
         step_mesh = None  # mesh handed to the step ONLY for the shard_map path
         if fwd_chunk and self.mesh.shape.get("data", 1) > 1:

@@ -310,3 +310,38 @@ def test_synthetic_dataset_inter_codec(tmp_path, tokenizer):
                            shuffle=True, num_workers=2, seed=0)
     batches = list(loader)
     assert batches and batches[0]["video"].shape[:2] == (4, 4)
+
+
+def test_reference_full_frame_train_crop(tmp_path):
+    """train_crop='reference_full_frame' (the crop-divergence ablation lane):
+    samples ship input_res² uint8 frames already RRC'd over the FULL decoded
+    frame, deterministically per (seed, index); eval split keeps the
+    canonical chain."""
+    from oatx.config.schema import DataLoaderCfg
+    from oatx.data.factory import build_dataset
+
+    vp = {"num_frames": 4, "num_videos": 4, "loading": "lax",
+          "train_crop": "reference_full_frame", "input_res": 224,
+          "fixture_width": 320, "fixture_height": 240, "fixture_frames": 32}
+    cfg = DataLoaderCfg(dataset_name="SyntheticVideoText",
+                        data_dir=str(tmp_path / "v"), object_dir="",
+                        batch_size=4, num_workers=0, split="train",
+                        video_params=vp)
+    ds = build_dataset(cfg, "baseline", "train")
+    s1 = ds.get_sample(0, np.random.default_rng((0, 0)))
+    s2 = ds.get_sample(0, np.random.default_rng((0, 0)))
+    assert s1["video"].shape == (4, 224, 224, 3)
+    assert s1["video"].dtype == np.uint8
+    np.testing.assert_array_equal(s1["video"], s2["video"])
+    # different sample index → different crop box (content differs)
+    s3 = ds.get_sample(1, np.random.default_rng((0, 1)))
+    assert not np.array_equal(s1["video"], s3["video"])
+
+    # eval split is untouched by the option (canonical 256² chain)
+    cfg_t = DataLoaderCfg(dataset_name="SyntheticVideoText",
+                          data_dir=str(tmp_path / "v"), object_dir="",
+                          batch_size=4, num_workers=0, split="test",
+                          video_params=vp)
+    dt = build_dataset(cfg_t, "baseline", "test")
+    st = dt.get_sample(0, np.random.default_rng((0, 0)))
+    assert st["video"].shape == (4, 256, 256, 3)

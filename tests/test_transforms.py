@@ -100,3 +100,92 @@ def test_host_canonicalize(rng):
     out = T.host_canonicalize(frames, 256)
     assert out.shape == (2, 256, 256, 3)
     np.testing.assert_array_equal(out, frames[:, 22:278])
+
+
+# ---------------------------------------------- host-faithful reference RRC
+
+def test_tv_rrc_params_algorithm_properties():
+    """tv_random_resized_crop_params reproduces torchvision
+    RandomResizedCrop.get_params: boxes always fit, areas within the scale
+    bounds (up to integer rounding), aspect within the ratio bounds, and
+    positions cover the frame (not pinned to the canonical center square —
+    the whole point of the ablation lane)."""
+    g = np.random.default_rng(0)
+    H, W = 240, 320
+    scale, ratio = (0.5, 1.0), (3 / 4, 4 / 3)
+    tops, lefts, areas, aspects = [], [], [], []
+    for _ in range(3000):
+        top, left, h, w = T.tv_random_resized_crop_params(g, H, W, scale, ratio)
+        assert 0 <= top and top + h <= H and 0 <= left and left + w <= W
+        assert h > 0 and w > 0
+        tops.append(top); lefts.append(left)
+        areas.append(h * w / (H * W)); aspects.append(w / h)
+    areas, aspects = np.asarray(areas), np.asarray(aspects)
+    # rounding of sqrt(area) perturbs the box by <= 1 px per side
+    assert areas.min() >= scale[0] * 0.93 and areas.max() <= scale[1] * 1.07
+    assert aspects.min() >= ratio[0] * 0.93 and aspects.max() <= ratio[1] * 1.07
+    # area ~ U(0.5, 1.0) BEFORE rejection; at 320x240 portrait-aspect boxes
+    # with area fraction ≳ 0.56·(4/3)/aspect exceed H and get resampled, so
+    # the accepted-area mean sits below 0.75 (torchvision behaves the same —
+    # its get_params resamples up to 10 times under the identical predicate)
+    assert 0.62 < areas.mean() < 0.72
+    # crops reach the full frame: some boxes start beyond the canonical
+    # center square's left edge ((W - H) // 2 = 40 at 320x240)
+    assert min(lefts) < 10 and max(lefts) > 60
+
+
+def test_tv_rrc_fallback_matches_torchvision_formula():
+    """Extreme aspect frames exhaust the 10 attempts; the fallback must be
+    torchvision's exact deterministic ratio-clamped center crop."""
+    g = np.random.default_rng(1)
+    # 1000x50 frame (in_ratio 20 > 4/3): w = round(50 * 4/3) = 67, h = 50
+    top, left, h, w = T.tv_random_resized_crop_params(
+        g, 50, 1000, (0.99, 1.0), (3 / 4, 4 / 3))
+    assert (top, left, h, w) == (0, (1000 - 67) // 2, 50, 67)
+    # 50x1000 portrait (in_ratio 0.05 < 3/4): w = 50, h = round(50 / (3/4)) = 67
+    top, left, h, w = T.tv_random_resized_crop_params(
+        g, 1000, 50, (0.99, 1.0), (3 / 4, 4 / 3))
+    assert (top, left, h, w) == ((1000 - 67) // 2, 0, 67, 50)
+
+
+def test_host_reference_rrc_shapes_and_determinism():
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (4, 240, 320, 3)).astype(np.uint8)
+    out1 = T.host_reference_rrc(frames, np.random.default_rng(7), out=224)
+    out2 = T.host_reference_rrc(frames, np.random.default_rng(7), out=224)
+    assert out1.shape == (4, 224, 224, 3) and out1.dtype == np.uint8
+    np.testing.assert_array_equal(out1, out2)  # seeded determinism
+    # one box per clip: a flat-color frame stays flat after crop+resize
+    flat = np.full((2, 120, 160, 3), 77, np.uint8)
+    outf = T.host_reference_rrc(flat, np.random.default_rng(3), out=64)
+    assert int(outf.min()) == 77 and int(outf.max()) == 77
+
+
+def test_np_bilinear_matches_device_resize():
+    """Host _np_bilinear_resize must sample identically to the device
+    resize_bilinear (same half-pixel, no-antialias convention) so the
+    precropped lane's pixels match what the device chain would produce."""
+    rng = np.random.default_rng(4)
+    img = rng.standard_normal((3, 37, 53, 3)).astype(np.float32)
+    a = T._np_bilinear_resize(img, 224, 224)
+    b = np.asarray(T.resize_bilinear(jnp.asarray(img), 224, 224))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_train_augment_host_precropped_skips_crop(rng):
+    cfg = T.TransformConfig(input_res=32, host_precropped=True,
+                            color_jitter=(0, 0, 0))
+    vid = jnp.asarray(rng.integers(0, 255, (2, 2, 32, 32, 3)), jnp.uint8)
+    out = T.train_augment(jax.random.PRNGKey(0), vid, cfg)
+    assert out.shape == (2, 2, 32, 32, 3)
+    # no crop/resize: up to flip, values must be exactly normalize(x/255)
+    ref = T.normalize(vid.astype(jnp.float32) / 255.0, cfg)
+    ok_direct = np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    ok_flip = np.allclose(np.asarray(out), np.asarray(ref[..., ::-1, :]), atol=1e-6)
+    per_clip = []
+    for i in range(2):
+        per_clip.append(
+            np.allclose(np.asarray(out[i]), np.asarray(ref[i]), atol=1e-6)
+            or np.allclose(np.asarray(out[i]), np.asarray(ref[i, :, :, ::-1, :]),
+                           atol=1e-6))
+    assert all(per_clip), (ok_direct, ok_flip)
