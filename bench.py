@@ -84,9 +84,23 @@ def main():
     frames = 4
     seq_len = 24
 
+    # A/B hook: OATX_BENCH_SPLIT=0|1 forces split_cls_stream off/on so variant
+    # experiments run under the exact harness the driver scores (default: the
+    # library default, i.e. whatever vit_spacetime ships).
+    import os
+    _split_env = os.environ.get("OATX_BENCH_SPLIT")
+    _vcfg_extra = {}
+    if _split_env is not None:
+        _vcfg_extra["split_cls_stream"] = _split_env not in ("0", "false", "")
+    _merge_env = os.environ.get("OATX_BENCH_MERGE")
+    if _merge_env:
+        from oatx.ops import attention as _attn
+        _attn.set_split_merge(_merge_env)
+
     def build(remat: bool):
         cfg = towers.TowerConfig(
-            video=vst.SpaceTimeViTConfig(num_frames=frames, time_init="zeros", remat=remat),
+            video=vst.SpaceTimeViTConfig(num_frames=frames, time_init="zeros", remat=remat,
+                                         **_vcfg_extra),
             text=dbert.DistilBertConfig(),
             projection_dim=256,
             variant="baseline",
@@ -118,15 +132,27 @@ def main():
     # before execution completes — force the dependency chain with a scalar fetch of
     # the final step's loss (each step consumes the previous state, so fetching the
     # last loss serializes all timed steps).
-    warmup, iters = 3, 20
+    #
+    # Variance hardening (VERDICT r3 #1): the relay's throughput wanders between
+    # windows (round-3 spread 77→95→104 clips/s on identical code), and the first
+    # timed region after compile in a process is warm-up-depressed. A single
+    # 20-iter window therefore records relay weather, not code. We time K windows
+    # of `iters` chained steps each, DISCARD the first window, and report the
+    # median of the rest; every window is emitted in the JSON so regressions are
+    # distinguishable from hiccups.
+    warmup, iters, n_windows = 3, 20, 4
     for _ in range(warmup):
         state, metrics = train_step(state, batch)
     _ = float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_step(state, batch)
-    _ = float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    window_dts = []
+    for _w in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = train_step(state, batch)
+        _ = float(metrics["loss"])
+        window_dts.append((time.perf_counter() - t0) / iters)
+    kept = sorted(window_dts[1:])
+    dt = kept[len(kept) // 2]  # median of post-first windows
 
     clips_per_sec = batch_size / dt
     fwd_flops = flops_forward_per_clip(cfg.video, cfg.text, seq_len)
@@ -139,6 +165,9 @@ def main():
         "unit": "clips/s/chip (4x224^2 frames, fwd+bwd+adamw, bf16)",
         "vs_baseline": round(clips_per_sec / baseline_clips, 3),
         "step_time_ms": round(dt * 1e3, 2),
+        "windows_clips_per_sec": [round(batch_size / d, 2) for d in window_dts],
+        "window_policy": f"median of windows 2..{n_windows} ({iters} chained steps each; window 1 discarded)",
+        **({"variant": {k: v for k, v in [("split_cls_stream", _vcfg_extra.get("split_cls_stream")), ("merge", _merge_env)] if v is not None}} if (_vcfg_extra or _merge_env) else {}),
         "batch_size": batch_size,
         "flops_per_clip_fwd": round(fwd_flops / 1e9, 2),
         "flops_per_clip_step": round(step_flops_per_clip / 1e9, 2),
