@@ -77,14 +77,16 @@ class SpaceTimeViTConfig:
     # per chip; XLA inserts the all-gather/reduce-scatter pairs around the TP
     # matmuls). Memory lever for long token counts (16-frame clips = 3137
     # tokens); numerically identical (tests/test_sharding_rules.py).
-    split_cls_stream: bool = False    # carry the residual stream as a PAIR
+    split_cls_stream: bool = True     # carry the residual stream as a PAIR
     # (patches (B, F·N, D), CLS (B, 1, D)) instead of one (B, 1+F·N, D)
     # tensor: the per-attention patch slice and output [patches, cls] concat
     # structurally never exist (~7 ms of the 77 ms bs=8 train step in the
-    # round-3 per-source-line trace; tower fwd+bwd measured 8.4% faster —
-    # PERF.md round 3). Numerics match the fused stream (logit key order is
-    # preserved); falls back to the fused path under pipeline parallelism
-    # and fused_qkv (see apply()).
+    # round-3 per-source-line trace). SHIPPED DEFAULT since round 4: the
+    # end-to-end bench.py A/B measured 103.6 → 108.8 clips/s (1.050×) with
+    # the 'concat' CLS merge and → 114.7 (1.107×, MFU 0.326) with the
+    # 'stream' merge (PERF.md round 4). Numerics match the fused stream
+    # (logit key order is preserved); falls back to the fused path under
+    # pipeline parallelism and fused_qkv (see apply()).
     fused_mlp: bool = True            # fused LN→fc1→GELU→fc2 (ops/pallas/ln_mlp):
     # measured 1.18× on fwd+bwd at ViT-B shapes on the dev chip (PERF.md round
     # 2 — the win is the leaner custom VJP; fwd alone is matmul-bound). The

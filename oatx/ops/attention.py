@@ -43,8 +43,11 @@ _LAYOUT: str = "legacy"
 # split-stream CLS merge style: 'concat' (group keys = [CLS] + patches
 # concatenated, reference order) or 'stream' (no key/value concats — the CLS
 # key's softmax contribution is merged analytically via a two-part streaming
-# softmax). Same math; A/B'd on the dev chip via tools/exp_step_time.py.
-_SPLIT_MERGE: str = "concat"
+# softmax). Same math (both merge modes grad-parity-tested,
+# tests/test_split_stream.py). 'stream' is the shipped default since round 4:
+# end-to-end bench.py A/B on the dev chip measured split+concat 108.8 vs
+# split+stream 114.7 clips/s (fused baseline 103.6) — PERF.md round 4.
+_SPLIT_MERGE: str = "stream"
 
 
 def set_split_merge(value: str) -> None:

@@ -30,9 +30,10 @@ def _video(f=4, b=2, res=32, seed=0):
 
 @pytest.fixture(params=["concat", "stream"])
 def split_merge(request):
+    prev = attn_mod._SPLIT_MERGE
     attn_mod.set_split_merge(request.param)
     yield request.param
-    attn_mod.set_split_merge("concat")
+    attn_mod.set_split_merge(prev)
 
 
 @pytest.mark.parametrize("variant_kw,frames", [
