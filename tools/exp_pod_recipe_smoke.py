@@ -1,0 +1,105 @@
+"""Execute the ViT-L pod recipe end-to-end on an 8-device CPU mesh.
+
+VERDICT r3 #3(b): `configs/pt/cc3m_webvid/vit_large_pod.json` must be
+exercised as configured — not just its arch table entry. This loads the REAL
+recipe file and changes only what hardware/data availability forces:
+
+  * datasets → SyntheticVideoText (the recipe's CC3M/WebVid corpora are not
+    on this machine); batch sizes, the 1-frame/4-frame alternation, and
+    loader count are preserved;
+  * depth 24 → 4 (a 24-deep 1024-wide model on the 1-core CPU VM would take
+    tens of minutes per step; every SHARDED dimension — 1024 embed, 16
+    heads, 4096 MLP, token axis — keeps its production size, which is where
+    divisibility/layout bugs live);
+  * epochs/max_samples trimmed to one short epoch, init_val off, tokenizer
+    built from the synthetic captions.
+
+Everything else — model_parallel=4 over 8 devices (data 2 × model 4), fsdp,
+sequence_parallel, remat, bf16, chunked loss, cosine+warmup AdamW,
+async_checkpoint, skip_nonfinite — runs exactly as the recipe configures it,
+through the real CLI trainer.
+
+Usage: OATX_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python tools/exp_pod_recipe_smoke.py
+(it sets both itself if unset)
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import sys
+import tempfile
+
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
+
+RECIPE = os.path.join(_repo, "configs/pt/cc3m_webvid/vit_large_pod.json")
+
+
+def main() -> int:
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8").strip()
+    os.environ.setdefault("OATX_PLATFORM", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["OATX_PLATFORM"])
+    assert len(jax.devices()) >= 8, jax.devices()
+
+    cfg = json.load(open(RECIPE))
+    smoke = copy.deepcopy(cfg)
+    td = tempfile.mkdtemp(prefix="pod_smoke_")
+
+    # -- data: synthetic stand-ins, preserving the 1-frame + 4-frame pair
+    for i, dl in enumerate(smoke["data_loader"]):
+        a = dl["args"]
+        frames = a["video_params"]["num_frames"]
+        a["dataset_name"] = "SyntheticVideoText"
+        a["data_dir"] = os.path.join(td, f"videos{i}")
+        a["object_dir"] = ""
+        a["num_workers"] = 2
+        a["video_params"].update({"num_videos": a["batch_size"] * 2,
+                                  "loading": "lax", "num_frames": frames})
+    smoke["tokenizer"] = {"vocab_size": 256}
+
+    # -- model: production widths, trimmed depth (see module docstring)
+    smoke["arch"]["args"]["video_params"]["depth"] = 4
+    smoke["arch"]["args"]["video_params"]["pretrained"] = False
+    smoke["arch"]["args"]["text_params"].update(
+        {"pretrained": False, "vocab_size": 256, "n_layers": 2})
+
+    # -- run length: one short epoch; init_val needs a val loader we don't have
+    smoke["trainer"].update({
+        "epochs": 1, "max_samples_per_epoch": smoke["data_loader"][0]["args"]["batch_size"] * 2,
+        "save_dir": os.path.join(td, "exps"), "save_period": 1,
+        "init_val": False, "verbosity": 1, "warmup_steps": None,
+    })
+    # cosine warmup of 2500 steps would pin the smoke's 2 steps at ~lr 0;
+    # keep the schedule type but let it move within the smoke
+    smoke["optimizer"]["args"]["warmup_steps"] = 1
+
+    cfg_path = os.path.join(td, "vit_large_pod_smoke.json")
+    json.dump(smoke, open(cfg_path, "w"), indent=1)
+
+    kept = {k: smoke["trainer"].get(k) for k in
+            ("model_parallel", "fsdp", "precision", "async_checkpoint",
+             "skip_nonfinite", "accum_steps")}
+    kept["sequence_parallel"] = smoke["arch"]["args"]["video_params"]["sequence_parallel"]
+    kept["remat"] = smoke["arch"]["args"]["video_params"]["remat"]
+    kept["chunked_loss"] = smoke["loss"]["args"].get("chunked")
+    kept["arch_config"] = smoke["arch"]["args"]["video_params"]["arch_config"]
+    print("pod-recipe knobs under test:", json.dumps(kept))
+
+    from oatx.cli.train import main as train_main
+
+    rc = train_main(["-c", cfg_path, "--no_timestamp"])
+    print("pod recipe smoke:", "OK" if rc == 0 else f"FAILED rc={rc}")
+    ckpt = os.path.join(td, "exps", "models", smoke["name"], "checkpoint-epoch1")
+    print("checkpoint written:", os.path.isdir(ckpt), ckpt)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
