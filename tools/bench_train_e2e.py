@@ -65,6 +65,10 @@ def main(argv=None):
     p.add_argument("--codec", default="mjpeg",
                    help="fixture codec: mjpeg | libx264 | mpeg4 (inter/mp4)")
     p.add_argument("--gop", type=int, default=0)
+    p.add_argument("--train-crop", default="device_canonical",
+                   choices=["device_canonical", "reference_full_frame"],
+                   help="reference_full_frame = host-side RRC, ships 224^2 "
+                        "uint8 (23%% fewer H2D bytes than the 256^2 canvas)")
     args = p.parse_args(argv)
     fw, fh, ff = (int(x) for x in args.fixture.split("x"))
 
@@ -84,6 +88,11 @@ def main(argv=None):
     data_dir = os.path.join(args.data_dir,
                             f"{args.fixture}_{args.codec}{args.gop or ''}")
     ds = build_dataset(data_dir, args.clips, fw, fh, ff, args.codec, args.gop)
+    if args.train_crop != "device_canonical":
+        # rebuild with the host-side crop lane (base.py reads video_params)
+        from oatx.config.schema import DataLoaderCfg as _DL  # noqa: F401
+        ds.train_crop = args.train_crop
+        ds.train_crop_res = 224
     print(f"# dataset ready ({args.clips} clips {fw}x{fh}x{ff}) "
           f"in {time.perf_counter() - t_gen:.1f}s", file=sys.stderr)
 
@@ -98,7 +107,12 @@ def main(argv=None):
         projection_dim=256, variant="baseline", compute_dtype=jnp.bfloat16)
     optimizer = optim.make_optimizer(lr=2e-4)
     state = steplib.init_state(jax.random.PRNGKey(0), cfg, optimizer)
-    augment = steplib.make_augmenter(train=True, tower_cfg=cfg)
+    tcfg = None
+    if args.train_crop == "reference_full_frame":
+        from oatx.data.transforms import TransformConfig
+        tcfg = TransformConfig(input_res=224, host_precropped=True)
+    augment = steplib.make_augmenter(transform_cfg=tcfg, train=True,
+                                     tower_cfg=cfg)
     train_step = steplib.make_train_step(cfg, steplib.LossConfig(), optimizer,
                                          augment=augment, donate=False,
                                          base_rng=jax.random.PRNGKey(7))
@@ -180,6 +194,7 @@ def main(argv=None):
                     "e2e": round(e2e_step * 1e3, 2)},
         "est_host_cores_to_saturate": round(cores_needed, 2),
         "fixture": f"{fw}x{fh}x{ff} {args.codec}",
+        "train_crop": args.train_crop,
         "steps": args.steps,
     }))
     return 0
