@@ -52,7 +52,11 @@ class SpaceTimeViTConfig:
     region_tap_layer: Optional[int] = None  # e.g. 6 → also return layer-6 patches
     pooling: str = "cls"              # 'cls' | 'cls_mean_half' (global-local)
     remat: bool = False               # remat each block (memory ↔ flops trade)
-    remat_policy: str = "full"        # 'full' | 'dots' (save MXU outputs, recompute VPU)
+    remat_policy: str = "full"        # 'full' (save block inputs only)
+    # | 'dots' (save non-batch dot outputs, recompute the rest)
+    # | 'dots_all' (save EVERY dot output incl. batch dims — least recompute,
+    #   most memory of the remat modes; the right point when full remat fits
+    #   with headroom and backward recompute dominates step time)
     scan_blocks: bool = False         # lax.scan over stacked blocks vs unrolled loop.
     # Unrolled measures ~30% faster fwd+bwd on TPU (no scan-carry HBM round trips
     # or residual stacking — PERF.md) at similar compile time; scan remains
@@ -250,6 +254,19 @@ def embed(params: Params, cfg: SpaceTimeViTConfig, video: jnp.ndarray) -> Tuple[
     return jnp.concatenate(parts, axis=1), f
 
 
+def _remat_policy(cfg: SpaceTimeViTConfig):
+    """jax.checkpoint policy for the per-block remat (see remat_policy doc).
+    'full' → None (save block inputs only, recompute everything else);
+    'dots' keeps non-batch matmul outputs resident; 'dots_all' keeps every
+    matmul output (batch activations included) and recomputes only VPU ops."""
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    if cfg.remat_policy == "dots_all":
+        return jax.checkpoint_policies.checkpoint_dots
+    assert cfg.remat_policy == "full", f"unknown remat_policy {cfg.remat_policy!r}"
+    return None
+
+
 def _sp_constrain(cfg: SpaceTimeViTConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Sequence-parallel activation annotation: (B, T, D) token axis sharded
     over the model mesh axis (no-op without a registered mesh / model axis)."""
@@ -286,14 +303,9 @@ def apply(
 
     block = lambda bp, xx: _sp_constrain(cfg, _block_apply(cfg, bp, xx, f))
     if cfg.remat:
-        policy = None
-        if cfg.remat_policy == "dots":
-            # keep MXU (matmul) outputs resident, recompute only cheap VPU ops in
-            # the backward — much less recompute than full remat at modest memory
-            policy = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
         block = jax.checkpoint(
             lambda bp, xx: _sp_constrain(cfg, _block_apply(cfg, bp, xx, f)),
-            policy=policy)
+            policy=_remat_policy(cfg))
 
     out: Dict[str, jnp.ndarray] = {}
     k = cfg.region_tap_layer
@@ -362,10 +374,7 @@ def _apply_split(
         return _sp_constrain(cfg, rp), rc
 
     if cfg.remat:
-        policy = None
-        if cfg.remat_policy == "dots":
-            policy = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
-        block = jax.checkpoint(block, policy=policy)
+        block = jax.checkpoint(block, policy=_remat_policy(cfg))
 
     out: Dict[str, jnp.ndarray] = {}
     k = cfg.region_tap_layer

@@ -53,7 +53,7 @@ def main(argv=None):
 
     def build(remat_mode: str):
         remat = remat_mode != "off"
-        policy = "dots" if remat_mode == "dots" else "full"
+        policy = remat_mode if remat_mode in ("dots", "dots_all") else "full"
         cfg = towers.TowerConfig(
             video=vst.SpaceTimeViTConfig(
                 num_frames=frames, time_init="zeros",
