@@ -46,6 +46,10 @@ class VideoParamsCfg:
     depth: Optional[int] = None
     num_heads: Optional[int] = None
     remat: bool = False
+    remat_policy: str = "full"  # 'full' | 'dots' | 'dots_all'; only read when
+    # remat=true (vit_spacetime._remat_policy). Measured guidance (PERF.md):
+    # ViT-B/L 4-frame fit without remat (remat=false wins); ViT-H needs
+    # remat=true and 'dots_all' is the best policy there.
     sequence_parallel: bool = False  # shard token axis over the model mesh axis
     split_cls_stream: Optional[bool] = None  # None → library default
     # (vit_spacetime.SpaceTimeViTConfig.split_cls_stream)
@@ -64,6 +68,7 @@ class VideoParamsCfg:
             depth=d.get("depth"),
             num_heads=d.get("num_heads"),
             remat=bool(_get(d, "remat", False)),
+            remat_policy=_get(d, "remat_policy", "full"),
             sequence_parallel=bool(_get(d, "sequence_parallel", False)),
             split_cls_stream=d.get("split_cls_stream"),
         )
@@ -388,6 +393,7 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
         num_frames=vp.num_frames,
         time_init=vp.time_init,
         remat=vp.remat,
+        remat_policy=vp.remat_policy,
         sequence_parallel=vp.sequence_parallel,
         **({} if vp.split_cls_stream is None
            else {"split_cls_stream": vp.split_cls_stream}),

@@ -23,6 +23,13 @@ def test_own_configs_parse():
     # reference experiments keep the reference's projection width
     cfg = ExperimentCfg.from_json("/root/repo/configs/pt/cc3m_webvid/norm.json")
     assert build_tower_config(cfg.arch).projection_dim == 256
+    # the ViT-H pod recipe carries its measured remat policy through to the
+    # model config (PERF.md "ViT-H/14 executed on the real chip")
+    cfg = ExperimentCfg.from_json("/root/repo/configs/pt/cc3m_webvid/vit_huge_pod.json")
+    tc = build_tower_config(cfg.arch)
+    assert tc.video.remat is True
+    assert tc.video.remat_policy == "dots_all"
+    assert tc.video.embed_dim == 1280 and tc.video.depth == 32
 
 
 @pytest.mark.skipif(not os.path.exists(REF_CONFIG), reason="reference unavailable")

@@ -26,6 +26,7 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 GEOM = {
+    "base": dict(embed_dim=768, depth=12, num_heads=12, patch_size=16),
     "large": dict(embed_dim=1024, depth=24, num_heads=16, patch_size=16),
     "huge": dict(embed_dim=1280, depth=32, num_heads=16, patch_size=14),
 }
@@ -38,6 +39,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--remat", default="dots,full,off",
                    help="comma list of remat modes to try per bs")
+    p.add_argument("--frames", type=int, default=4,
+                   help="clip length (16 = the long-context lane)")
     args = p.parse_args(argv)
 
     import jax
@@ -49,7 +52,7 @@ def main(argv=None):
     from oatx.train import optim, step as steplib
 
     g = GEOM[args.arch]
-    frames, seq_len = 4, 24
+    frames, seq_len = args.frames, 24
 
     def build(remat_mode: str):
         remat = remat_mode != "off"
@@ -108,7 +111,8 @@ def main(argv=None):
                     dts.append((time.perf_counter() - t0) / args.iters)
                 dt = dts[-1]
                 rows.append({
-                    "arch": args.arch, "bs": bs, "remat": remat_mode,
+                    "arch": args.arch, "frames": frames,
+                    "bs": bs, "remat": remat_mode,
                     "step_ms": round(dt * 1e3, 1),
                     "clips_per_sec": round(bs / dt, 2),
                     "ms_per_clip": round(dt * 1e3 / bs, 2),
