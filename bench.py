@@ -91,7 +91,8 @@ def main():
     _split_env = os.environ.get("OATX_BENCH_SPLIT")
     _vcfg_extra = {}
     if _split_env is not None:
-        _vcfg_extra["split_cls_stream"] = _split_env not in ("0", "false", "")
+        _vcfg_extra["split_cls_stream"] = (
+            _split_env.strip().lower() not in ("0", "false", "no", "off", ""))
     _merge_env = os.environ.get("OATX_BENCH_MERGE")
     if _merge_env:
         from oatx.ops import attention as _attn

@@ -33,13 +33,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--bpe-vocab",
                    help="CLIP BPE vocab file (bpe_simple_vocab_16e6.txt.gz)")
     our, rest = p.parse_known_args(argv)
-    if "-h" not in (rest or []) and "--help" not in (rest or []):
+    want_help = "-h" in (rest or []) or "--help" in (rest or [])
+    if not want_help:
         if not our.video or not our.caption:
             p.error("--video and --caption are required")
         if our.backbone == "clip" and not our.clip_ckpt:
             p.error("--backbone clip requires --clip-ckpt")
-    if our.backbone == "clip":
-        return _main_clip(our)
+        if our.backbone == "clip":
+            return _main_clip(our)
+    elif our.backbone == "clip":
+        # the clip path has no downstream config parser to print help
+        p.print_help()
+        return 0
 
     import jax
     import jax.numpy as jnp

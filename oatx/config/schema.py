@@ -358,6 +358,21 @@ class ExperimentCfg:
             return cls.from_dict(json.load(f))
 
 
+ARCH_TABLE = {  # arch_config → (embed_dim, depth, num_heads, patch)
+    # timm ViT geometry names. The reference ships base only
+    # (video_transformer.py SpaceTimeTransformer defaults); the other
+    # sizes are oatx extensions — same tower, scaled dims. large/huge
+    # pretrains want remat and/or fsdp (docs/parallelism.md). Module-level
+    # so measurement tools (tools/exp_vitl_real.py) benchmark the SAME
+    # geometries the recipes train.
+    "base_patch16_224": (768, 12, 12, 16),
+    "small_patch16_224": (384, 12, 6, 16),
+    "tiny_patch16_224": (192, 12, 3, 16),
+    "large_patch16_224": (1024, 24, 16, 16),
+    "huge_patch14_224": (1280, 32, 16, 14),
+}
+
+
 def build_tower_config(arch: ArchCfg, compute_dtype=None):
     """ArchCfg → oatx.models.towers.TowerConfig."""
     from oatx.models import distilbert as dbert
@@ -369,17 +384,6 @@ def build_tower_config(arch: ArchCfg, compute_dtype=None):
     if arch.text_params.family not in ("distilbert", "bert", "clip"):
         raise NotImplementedError(f"text model family {arch.text_params.family!r}")
 
-    ARCH_TABLE = {  # arch_config → (embed_dim, depth, num_heads, patch)
-        # timm ViT geometry names. The reference ships base only
-        # (video_transformer.py SpaceTimeTransformer defaults); the other
-        # sizes are oatx extensions — same tower, scaled dims. large/huge
-        # pretrains want remat and/or fsdp (docs/parallelism.md).
-        "base_patch16_224": (768, 12, 12, 16),
-        "small_patch16_224": (384, 12, 6, 16),
-        "tiny_patch16_224": (192, 12, 3, 16),
-        "large_patch16_224": (1024, 24, 16, 16),
-        "huge_patch14_224": (1280, 32, 16, 14),
-    }
     if arch.video_params.arch_config not in ARCH_TABLE:
         raise NotImplementedError(f"arch_config {arch.video_params.arch_config!r}")
     embed_dim, depth, heads, patch = ARCH_TABLE[arch.video_params.arch_config]

@@ -184,12 +184,29 @@ class TextVideoDataset:
     def _frame_sample_mode(self) -> str:
         return "uniform" if self.split == "test" else "rand"
 
+    def _host_rrc_active(self) -> bool:
+        return self.train_crop == "reference_full_frame" and self.split == "train"
+
     def _frame_res(self) -> int:
         """Emitted frame size: input_res under the host-faithful train crop
         (frames are pre-cropped), the canonical square otherwise."""
-        if self.train_crop == "reference_full_frame" and self.split == "train":
+        if self._host_rrc_active():
             return self.train_crop_res
         return self.canon
+
+    def _finalize_frames(self, frames: np.ndarray,
+                         rng: np.random.Generator) -> np.ndarray:
+        """Shared host-side finish for every reader (video, still image, tar
+        member): torchvision-exact RRC over the full decoded frame under the
+        reference_full_frame lane, canonical square otherwise — so image
+        datasets (CC3M) honor the ablation lane too, keeping frame shapes
+        consistent across all train loaders (the trainer requires the lane on
+        ALL of them)."""
+        if self._host_rrc_active():
+            from oatx.data.transforms import host_reference_rrc
+
+            return host_reference_rrc(frames, rng, out=self.train_crop_res)
+        return host_canonicalize(frames, self.canon)
 
     def _black_frames(self, n: int) -> np.ndarray:
         r = self._frame_res()
@@ -197,20 +214,14 @@ class TextVideoDataset:
 
     def _read_video(self, path: str, rng: np.random.Generator,
                     fix_start: Optional[int] = None):
-        if self.train_crop == "reference_full_frame" and self.split == "train":
-            # host-faithful lane: decode NATIVE size, torchvision-exact RRC
-            # over the full frame (per-clip box, seeded rng), ship input_res²
-            from oatx.data.transforms import host_reference_rrc
-
-            frames, idxs, vlen = vr.read_frames(
-                path, self.num_frames, sample=self._frame_sample_mode(),
-                fix_start=fix_start, rng=rng, short_side=0)
-            frames = host_reference_rrc(frames, rng, out=self.train_crop_res)
-        else:
-            frames, idxs, vlen = vr.read_frames(
-                path, self.num_frames, sample=self._frame_sample_mode(),
-                fix_start=fix_start, rng=rng, short_side=self.canon)
-            frames = host_canonicalize(frames, self.canon)
+        # host-faithful lane: decode NATIVE size (short_side=0),
+        # torchvision-exact RRC over the full frame (per-clip box, seeded
+        # rng), ship input_res²; default: canonical short-side decode + crop
+        frames, idxs, vlen = vr.read_frames(
+            path, self.num_frames, sample=self._frame_sample_mode(),
+            fix_start=fix_start, rng=rng,
+            short_side=0 if self._host_rrc_active() else self.canon)
+        frames = self._finalize_frames(frames, rng)
         if frames.shape[0] < self.num_frames:  # short video → repeat last frame
             pad = np.repeat(frames[-1:], self.num_frames - frames.shape[0], axis=0)
             frames = np.concatenate([frames, pad], axis=0)
@@ -337,8 +348,9 @@ class TextImageDataset(TextVideoDataset):
     is_video = False
 
     def _read_video(self, path: str, rng, fix_start=None):
-        frames = vr.decode_indices(path, [0], short_side=self.canon)
-        return host_canonicalize(frames, self.canon), [0], 1
+        frames = vr.decode_indices(
+            path, [0], short_side=0 if self._host_rrc_active() else self.canon)
+        return self._finalize_frames(frames, rng), [0], 1
 
 
 class TextImageTarDataset(TextImageDataset):
@@ -380,7 +392,7 @@ class TextImageTarDataset(TextImageDataset):
             if isinstance(e, vr.DecodeError):
                 raise
             raise vr.DecodeError(f"tar read failed: {path}: {e}") from e
-        return host_canonicalize(frame[None], self.canon), [0], 1
+        return self._finalize_frames(frame[None], rng), [0], 1
 
     def _decode_image_bytes(self, data: bytes) -> np.ndarray:
         import io
@@ -388,8 +400,9 @@ class TextImageTarDataset(TextImageDataset):
         from PIL import Image
 
         im = Image.open(io.BytesIO(data)).convert("RGB")
-        w, h = im.size
-        scale = self.canon / min(w, h)
-        im = im.resize((max(self.canon, int(w * scale)),
-                        max(self.canon, int(h * scale))), Image.BILINEAR)
+        if not self._host_rrc_active():  # the RRC lane wants the native size
+            w, h = im.size
+            scale = self.canon / min(w, h)
+            im = im.resize((max(self.canon, int(w * scale)),
+                            max(self.canon, int(h * scale))), Image.BILINEAR)
         return np.asarray(im, np.uint8)

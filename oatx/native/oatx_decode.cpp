@@ -716,13 +716,27 @@ int64_t oatx_transcode(const char* in_path, const char* out_path,
                              : avcodec_find_encoder_by_name(codec_name);
   if (!enc) return -1;
   AVFormatContext* ofmt = nullptr;
+  AVCodecContext* c = nullptr;
+  // error-path cleanup: frees the encoder/muxer state the early returns
+  // below would otherwise leak in long-lived remux workers (the input-side
+  // Decoder is RAII and cleans itself)
+  auto bail = [&](int64_t rc) {
+    if (c) avcodec_free_context(&c);
+    if (ofmt) {
+      if (ofmt->pb && !(ofmt->oformat->flags & AVFMT_NOFILE)) {
+        avio_closep(&ofmt->pb);
+      }
+      avformat_free_context(ofmt);
+    }
+    return rc;
+  };
   if (avformat_alloc_output_context2(&ofmt, nullptr, mjpeg ? "avi" : nullptr,
                                      out_path) < 0) {
-    return -2;
+    return bail(-2);
   }
   AVStream* st = avformat_new_stream(ofmt, enc);
-  AVCodecContext* c = avcodec_alloc_context3(enc);
-  if (!st || !c) return -3;
+  c = avcodec_alloc_context3(enc);
+  if (!st || !c) return bail(-3);
   AVRational fr = d.frame_rate.num ? d.frame_rate : AVRational{25, 1};
   c->width = d.width;
   c->height = d.height;
@@ -748,13 +762,13 @@ int64_t oatx_transcode(const char* in_path, const char* out_path,
   if (ofmt->oformat->flags & AVFMT_GLOBALHEADER) {
     c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   }
-  if (avcodec_open2(c, enc, nullptr) < 0) return -4;
+  if (avcodec_open2(c, enc, nullptr) < 0) return bail(-4);
   avcodec_parameters_from_context(st->codecpar, c);
   st->time_base = c->time_base;
   if (!(ofmt->oformat->flags & AVFMT_NOFILE)) {
-    if (avio_open(&ofmt->pb, out_path, AVIO_FLAG_WRITE) < 0) return -5;
+    if (avio_open(&ofmt->pb, out_path, AVIO_FLAG_WRITE) < 0) return bail(-5);
   }
-  if (avformat_write_header(ofmt, nullptr) < 0) return -6;
+  if (avformat_write_header(ofmt, nullptr) < 0) return bail(-6);
 
   SwsContext* sws = nullptr;
   AVFrame* dec_frame = av_frame_alloc();
@@ -793,7 +807,15 @@ int64_t oatx_transcode(const char* in_path, const char* out_path,
     // of the decoder; the encoder handles its own B-frame reordering)
     enc_frame->pts = in_count++;
     enc_frame->quality = c->global_quality;
-    if (avcodec_send_frame(c, enc_frame) == 0) drain_encoder();
+    // EAGAIN = encoder buffer full: drain pending packets and retry once;
+    // any other failure must flag the whole transcode (a silently dropped
+    // frame would shift frame indices for every epoch trained on the output)
+    int rc = avcodec_send_frame(c, enc_frame);
+    if (rc == AVERROR(EAGAIN)) {
+      drain_encoder();
+      rc = avcodec_send_frame(c, enc_frame);
+    }
+    if (rc == 0) drain_encoder(); else fail = true;
   };
 
   while (av_read_frame(d.fmt, in_pkt) >= 0 && !fail) {

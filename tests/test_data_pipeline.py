@@ -345,3 +345,63 @@ def test_reference_full_frame_train_crop(tmp_path):
     dt = build_dataset(cfg_t, "baseline", "test")
     st = dt.get_sample(0, np.random.default_rng((0, 0)))
     assert st["video"].shape == (4, 256, 256, 3)
+
+
+def test_reference_full_frame_image_datasets(tmp_path):
+    """The host-faithful crop lane must cover the IMAGE loaders too (CC3M is
+    half of every pod recipe pairing): still images and tar members ship
+    input_res² RRC'd frames, deterministic per (seed, index)."""
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    from oatx.config.schema import DataLoaderCfg
+    from oatx.data.factory import build_dataset
+
+    meta = tmp_path / "meta_data"
+    meta.mkdir()
+    rows = ["caption\tfile"]
+    for i in range(2):
+        p = tmp_path / "training" / f"img{i}.jpg"
+        p.parent.mkdir(exist_ok=True)
+        Image.fromarray(np.random.default_rng(i).integers(
+            0, 255, (300, 400, 3)).astype(np.uint8)).save(p)
+        rows.append(f"an image {i}\timg{i}.jpg")
+    (meta / "cc3m_training_success_full.tsv").write_text("\n".join(rows))
+    vp = {"num_frames": 1, "loading": "lax",
+          "train_crop": "reference_full_frame", "input_res": 224}
+    cfg = DataLoaderCfg(dataset_name="ConceptualCaptions3M",
+                        data_dir=str(tmp_path), metadata_dir=str(tmp_path),
+                        split="train", video_params=vp)
+    ds = build_dataset(cfg, "baseline", "train")
+    s1 = ds.get_sample(0, np.random.default_rng((7, 0)))
+    s2 = ds.get_sample(0, np.random.default_rng((7, 0)))
+    assert s1["video"].shape == (1, 224, 224, 3)
+    assert s1["video"].dtype == np.uint8
+    np.testing.assert_array_equal(s1["video"], s2["video"])
+
+    # tar shards take the same lane (native-size decode inside the tar reader)
+    rows = ["caption\tmember"]
+    with tarfile.open(tmp_path / "shard0.tar", "w") as tf:
+        for i in range(2):
+            img = Image.fromarray(np.random.default_rng(10 + i).integers(
+                0, 255, (300, 400, 3)).astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            buf.seek(0)
+            info = tarfile.TarInfo(f"images/{i}.jpg")
+            info.size = len(buf.getvalue())
+            tf.addfile(info, buf)
+            rows.append(f"tar image {i}\tshard0.tar/images/{i}.jpg")
+    (meta / "cc3m_tar_train.tsv").write_text("\n".join(rows))
+    cfg_t = DataLoaderCfg(dataset_name="ConceptualCaptions3MTar",
+                          data_dir=str(tmp_path), metadata_dir=str(tmp_path),
+                          split="train", video_params=vp)
+    dt = build_dataset(cfg_t, "baseline", "train")
+    st = dt.get_sample(0, np.random.default_rng((7, 0)))
+    assert st["video"].shape == (1, 224, 224, 3)
+    # the RRC saw the native 300x400 frame, not a canonical square: crops are
+    # reproducible but differ across indices
+    st2 = dt.get_sample(1, np.random.default_rng((7, 1)))
+    assert not np.array_equal(st["video"], st2["video"])

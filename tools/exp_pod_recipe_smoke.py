@@ -81,7 +81,7 @@ def main() -> int:
     smoke["trainer"].update({
         "epochs": 1, "max_samples_per_epoch": smoke["data_loader"][0]["args"]["batch_size"] * 2,
         "save_dir": os.path.join(td, "exps"), "save_period": 1,
-        "init_val": False, "verbosity": 1, "warmup_steps": None,
+        "init_val": False, "verbosity": 1,
     })
     # cosine warmup of 2500 steps would pin the smoke's 2 steps at ~lr 0;
     # keep the schedule type but let it move within the smoke

@@ -25,10 +25,15 @@ import numpy as np
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# geometries come from the same table the recipe configs resolve through —
+# a drift there would otherwise leave this tool benchmarking stale dims
+from oatx.config.schema import ARCH_TABLE as _ARCH_TABLE
+
 GEOM = {
-    "base": dict(embed_dim=768, depth=12, num_heads=12, patch_size=16),
-    "large": dict(embed_dim=1024, depth=24, num_heads=16, patch_size=16),
-    "huge": dict(embed_dim=1280, depth=32, num_heads=16, patch_size=14),
+    name.split("_")[0]: dict(embed_dim=dims[0], depth=dims[1],
+                             num_heads=dims[2], patch_size=dims[3])
+    for name, dims in _ARCH_TABLE.items()
+    if name.split("_")[0] in ("base", "large", "huge")
 }
 
 
@@ -123,6 +128,10 @@ def main(argv=None):
                 print(json.dumps(rows[-1]), flush=True)
                 del state, train_step
             except Exception as e:  # OOM or compile failure: record and move on
+                # drop any half-built model BEFORE the next point — a live
+                # params+AdamW tree from the failed point would make the next
+                # point OOM spuriously and corrupt the fits/OOM conclusion
+                state = train_step = None  # noqa: F841
                 msg = str(e)
                 oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg \
                     or "exceeds the memory" in msg

@@ -54,13 +54,33 @@ def out_rel_path(rel: str, codec: str) -> str:
     return base + (".avi" if codec == "mjpeg" else ".mp4")
 
 
+def out_rel_paths(rels: list, codec: str) -> dict:
+    """rel → output rel, disambiguating stems that collide after the
+    extension swap (a.mp4 + a.mkv would otherwise both map to a.mp4 — two
+    workers racing one tmp file, and resume silently dropping one clip).
+    Colliding sources keep their original extension in the stem (a.mkv →
+    a_mkv.mp4)."""
+    plain = {}
+    for rel in rels:
+        plain.setdefault(out_rel_path(rel, codec), []).append(rel)
+    out = {}
+    for dst, group in plain.items():
+        if len(group) == 1:
+            out[group[0]] = dst
+        else:
+            for rel in group:
+                base, ext = os.path.splitext(rel)
+                out[rel] = out_rel_path(base + "_" + ext.lstrip("."), codec)
+    return out
+
+
 def _transcode_one(args) -> tuple:
     """(rel, ok, n_frames_or_error, seconds). Runs in a worker process."""
-    src_root, dst_root, rel, codec, gop, quality = args
+    src_root, dst_root, rel, out_rel, codec, gop, quality = args
     from oatx.data import video_reader as vr
 
     src = os.path.join(src_root, rel)
-    dst = os.path.join(dst_root, out_rel_path(rel, codec))
+    dst = os.path.join(dst_root, out_rel)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     # keep the extension so libavformat can guess the container from the name
     base, ext = os.path.splitext(dst)
@@ -104,10 +124,11 @@ def main(argv=None) -> int:
         rels = rels[: args.limit]
 
     # resume: skip outputs that already exist non-empty
+    out_map = out_rel_paths(rels, args.codec)
     todo = []
     skipped = 0
     for rel in rels:
-        dst = os.path.join(args.dst, out_rel_path(rel, args.codec))
+        dst = os.path.join(args.dst, out_map[rel])
         if os.path.exists(dst) and os.path.getsize(dst) > 0:
             skipped += 1
         else:
@@ -118,8 +139,8 @@ def main(argv=None) -> int:
     done = failed = 0
     frames = 0
     t_start = time.perf_counter()
-    jobs = [(args.src, args.dst, rel, args.codec, args.gop, args.quality)
-            for rel in todo]
+    jobs = [(args.src, args.dst, rel, out_map[rel], args.codec, args.gop,
+             args.quality) for rel in todo]
     with ProcessPoolExecutor(max_workers=args.workers) as ex:
         futures = [ex.submit(_transcode_one, j) for j in jobs]
         for fut in as_completed(futures):
