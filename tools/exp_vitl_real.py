@@ -135,11 +135,18 @@ def main(argv=None):
                 msg = str(e)
                 oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg \
                     or "exceeds the memory" in msg
-                rows.append({"arch": args.arch, "bs": bs, "remat": remat_mode,
-                             "fits": False,
-                             "error": ("OOM" if oom else msg[:200])})
+                # the dev relay's remote compile helper 500s on SOME
+                # large-geometry points (a relay bug, point-specific — the
+                # same configs compile on the CPU mesh); treat it like OOM
+                # (record, move on) rather than aborting the sweep
+                relay_bug = "remote_compile" in msg or "compile-help" in msg
+                rows.append({"arch": args.arch, "frames": frames,
+                             "bs": bs, "remat": remat_mode, "fits": False,
+                             "error": ("OOM" if oom else
+                                       "relay-compile-500" if relay_bug
+                                       else msg[:200])})
                 print(json.dumps(rows[-1]), flush=True)
-                if not oom:
+                if not (oom or relay_bug):
                     break
     print(json.dumps({"summary": rows, "n_params_million":
                       None if n_params is None else round(n_params / 1e6, 1)}))
