@@ -207,3 +207,60 @@ def test_fsdp_resume_preserves_sharded_layout(tmp_path):
             assert sb is not None and sa.is_equivalent_to(sb, a.ndim), (
                 sa.spec, sb.spec)
     assert n_sharded > 0, "no leaf was fsdp-sharded — the check proved nothing"
+
+
+def test_resume_across_topology_change(tmp_path):
+    """Elastic recovery: a checkpoint saved on an 8-device mesh must resume
+    on a 4-device mesh (pod shrink after preemption) and vice versa — values
+    identical, state placed on the NEW mesh. The reference has no elastic
+    story at all (NCCL world size is fixed at launch); oatx checkpoints are
+    placement-free by design (Orbax restore into the new mesh's template
+    shardings)."""
+    from oatx.parallel import mesh as meshlib
+
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"scene {i} dog" for i in range(40)], vocab_size=256)
+    exp = _exp(tmp_path, epochs=1)
+    tr8 = Trainer(exp, build_loaders(exp, tok), [], save_dir=None, log_dir=None)
+    assert tr8.mesh.shape["data"] == 8
+    tr8.train()
+    ckptlib.save_checkpoint(str(tmp_path / "ck"), "final", tr8.state, 1, 0.0)
+    ref = jax.tree_util.tree_map(np.asarray, tr8.state.params)
+
+    # shrink: 8 → 4 devices (batch 8 still divides 4)
+    mesh4 = meshlib.make_mesh(4)
+    tr4 = Trainer(exp, build_loaders(exp, tok), [], save_dir=None,
+                  log_dir=None, mesh=mesh4,
+                  resume=str(tmp_path / "ck" / "final"))
+    got = jax.tree_util.tree_map(np.asarray, tr4.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(a, b)
+    for leaf in jax.tree_util.tree_leaves(tr4.state.params):
+        assert set(leaf.sharding.mesh.devices.flat) == set(
+            mesh4.devices.flat), "leaf not placed on the shrunk mesh"
+    # the shrunk trainer actually steps
+    from oatx.data.loader import MultiLoader, device_prefetch
+
+    tr4.train_loaders[0].set_epoch(2)
+    it = device_prefetch(iter(MultiLoader(tr4.train_loaders)), tr4.mesh)
+    _, batch = next(it)
+    batch.pop("meta", None)
+    state, m = tr4.train_step(tr4.state, batch)
+    assert np.isfinite(float(m["loss"]))
+    it.close()
+
+    # grow back: 4 → 8, with fsdp ON in the resumed run (re-shard over the
+    # larger data axis from a checkpoint that never saw fsdp)
+    ckptlib.save_checkpoint(str(tmp_path / "ck4"), "final", state, 1, 0.0)
+    exp.trainer.fsdp = True
+    exp.arch.video_params.embed_dim = 32  # unchanged; threshold keeps small leaves whole
+    mesh8 = meshlib.make_mesh(8)
+    tr8b = Trainer(exp, build_loaders(exp, tok), [], save_dir=None,
+                   log_dir=None, mesh=mesh8,
+                   resume=str(tmp_path / "ck4" / "final"))
+    got2 = jax.tree_util.tree_map(np.asarray, tr8b.state.params)
+    ref2 = jax.tree_util.tree_map(np.asarray, state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(ref2),
+                    jax.tree_util.tree_leaves(got2)):
+        np.testing.assert_array_equal(a, b)
