@@ -280,6 +280,10 @@ class TrainerCfg:
     neptune: bool = False
     precision: str = "bf16"
     model_parallel: int = 1
+    dcn_slices: int = 1        # >1: multi-slice pod mesh ('dcn','data','model')
+    # — pure data parallelism ACROSS slices (only the gradient reduce crosses
+    # DCN); fsdp/TP/sequence-parallel shards stay intra-slice on ICI
+    # (parallel/mesh.make_mesh)
     seed: int = 0
     accum_steps: int = 1       # gradient accumulation micro-steps
     fwd_chunk: int = 0         # >0: remat-scan the tower forwards in chunks of

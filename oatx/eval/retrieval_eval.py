@@ -93,9 +93,9 @@ def evaluate(
         obj_fn = jax.jit(lambda p, o: towers.compute_object(p, tower_cfg, o))
     multiple = loader.batch_size
     if mesh is not None:
-        from oatx.parallel.mesh import DATA_AXIS
+        from oatx.parallel.mesh import batch_shards
 
-        multiple = max(multiple, mesh.shape[DATA_AXIS])
+        multiple = max(multiple, batch_shards(mesh))
     texts, vids, objs, metas = [], [], [], []
     for batch, n_valid in device_prefetch(
             padded_batches(iter(loader), multiple), mesh):
@@ -235,9 +235,9 @@ def evaluate_streams(
         "text_embeds", "pad_text_embeds", "video_embeds", "object_img_embeds")}
     multiple = loader.batch_size
     if mesh is not None:
-        from oatx.parallel.mesh import DATA_AXIS
+        from oatx.parallel.mesh import batch_shards
 
-        multiple = max(multiple, mesh.shape[DATA_AXIS])
+        multiple = max(multiple, batch_shards(mesh))
     for batch, n_valid in device_prefetch(padded_batches(iter(loader), multiple), mesh):
         batch.pop("meta", None)
         out = fwd(params, aug(jax.random.PRNGKey(0), batch))

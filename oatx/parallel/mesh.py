@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"  # multi-slice pods: outer data-parallel axis crossing slices
 
 # Process-wide current mesh: model code that wants to annotate ACTIVATION
 # shardings (e.g. sequence parallelism) needs the mesh object for
@@ -44,22 +45,68 @@ def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    dcn_slices: int = 1,
 ) -> Mesh:
+    """Build the (data, model) mesh — or, with dcn_slices > 1, the multi-slice
+    ('dcn', 'data', 'model') mesh for pods joined by data-center network.
+
+    The multi-slice layout is the scaling-book recipe: pure data parallelism
+    ACROSS slices (the 'dcn' axis carries only the per-step gradient reduce),
+    while everything bandwidth-hungry — FSDP weight gathers, Megatron TP
+    collectives, sequence-parallel activation shards — stays on the
+    intra-slice ('data'/'model') axes and rides ICI. Batches shard over
+    ('dcn', 'data') jointly (see batch_axes); parameter sharding rules never
+    touch 'dcn' (oatx.parallel.sharding keeps it replicated by construction).
+    On real multi-slice TPU, devices are grouped by their slice_index so each
+    dcn row is one ICI domain; on flat device sets (single slice, CPU test
+    meshes) the grouping degenerates to a plain reshape.
+    """
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
-    if n % model_parallel != 0:
-        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
-    grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
-    mesh = Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    if dcn_slices < 1:
+        raise ValueError(f"dcn_slices must be >= 1, got {dcn_slices}")
+    if n % (model_parallel * dcn_slices) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel} "
+            f"x dcn_slices={dcn_slices}")
+    if dcn_slices > 1:
+        # group devices by ICI domain so the leading axis strides ACROSS
+        # slices: slice k's devices fill grid[k]. getattr default covers
+        # virtual CPU meshes (no slice_index) — there the sort is stable id
+        # order and the reshape is the grouping.
+        devs = sorted(devs, key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+        grid = np.asarray(devs).reshape(
+            dcn_slices, n // (dcn_slices * model_parallel), model_parallel)
+        mesh = Mesh(grid, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+    else:
+        grid = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+        mesh = Mesh(grid, (DATA_AXIS, MODEL_AXIS))
     set_current_mesh(mesh)
     return mesh
 
 
+def batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axis names the batch dim shards over: ('dcn', 'data') on a
+    multi-slice mesh, ('data',) otherwise."""
+    return tuple(a for a in (DCN_AXIS, DATA_AXIS) if a in mesh.axis_names)
+
+
+def batch_shards(mesh: Mesh) -> int:
+    """Number of ways the batch dim is sharded (product of batch-axis sizes).
+    Use this — not mesh.shape['data'] — for batch divisibility/padding logic;
+    on a multi-slice mesh the batch also shards over 'dcn'."""
+    out = 1
+    for a in batch_axes(mesh):
+        out *= mesh.shape[a]
+    return out
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) dim sharded over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading (batch) dim sharded over the data axis (and the dcn axis on a
+    multi-slice mesh)."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

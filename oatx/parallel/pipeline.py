@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from oatx.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from oatx.parallel.mesh import MODEL_AXIS, batch_axes, batch_shards
 
 
 def stage_block_specs(params_blocks: Dict[str, Any]) -> Dict[str, Any]:
@@ -64,10 +64,10 @@ def pipeline_blocks(
     assert L % P_ == 0, f"depth {L} not divisible by {P_} stages"
 
     mb = B // M
-    data_size = mesh.shape[DATA_AXIS]
+    data_size = batch_shards(mesh)  # dcn x data on multi-slice meshes
     assert mb % data_size == 0, (
         f"microbatch size {mb} (batch {B} / {M} microbatches) must divide by "
-        f"the data axis ({data_size})")
+        f"the batch shards ({data_size})")
     x_micro = x.reshape(M, mb, *x.shape[1:])
 
     def run(blocks_local, x_micro_local):
@@ -123,14 +123,16 @@ def pipeline_blocks(
         run,
         mesh=mesh,
         in_specs=(stage_block_specs(params_blocks),
-                  Pspec_data_micro(nd)),
-        out_specs=Pspec_data_micro(nd),
+                  Pspec_data_micro(nd, mesh)),
+        out_specs=Pspec_data_micro(nd, mesh),
         check_vma=False,  # ppermute/psum manual collectives
     )
     out = fn(params_blocks, x_micro)
     return out.reshape(B, *x.shape[1:])
 
 
-def Pspec_data_micro(x_ndim: int) -> P:
-    """(M, mb, T, D...) spec: microbatch dim replicated, batch dim over data."""
-    return P(None, DATA_AXIS, *([None] * (x_ndim - 2)))
+def Pspec_data_micro(x_ndim: int, mesh: Mesh) -> P:
+    """(M, mb, T, D...) spec: microbatch dim replicated, batch dim over the
+    mesh's batch axes (('dcn',) 'data' — shard_map replicates axes its specs
+    do not name, so the multi-slice axis must be named explicitly)."""
+    return P(None, batch_axes(mesh), *([None] * (x_ndim - 2)))

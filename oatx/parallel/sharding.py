@@ -84,6 +84,10 @@ def fsdp_param_specs(
     moments drops to ~1/data_size. Leaves smaller than min_size stay on the
     base spec (gather latency would dominate). Composes with tensor
     parallelism: a leaf can end up P(..., 'data', ..., 'model', ...).
+    On a multi-slice ('dcn') mesh the 'dcn' axis is DELIBERATELY left out:
+    params replicate across slices so the per-use weight all-gathers ride
+    intra-slice ICI, never DCN — cross-slice traffic stays the one gradient
+    reduce (the scaling-book multi-slice recipe).
     SURVEY.md §2.5 lists optimizer sharding as the pjit freebie; this is the
     same mechanism one annotation further."""
     data_size = mesh.shape[DATA_AXIS]
@@ -120,7 +124,9 @@ def shard_opt_state_zero1(mesh: Mesh, opt_state) -> Any:
     sharded over the DATA axis on its first divisible dimension (the reference
     has no optimizer sharding — SURVEY.md §2.5 lists it as the pjit freebie).
     GSPMD keeps the update math correct; XLA gathers/scatters as needed, so on
-    an N-way data mesh the Adam moments cost 1/N HBM per chip."""
+    an N-way data mesh the Adam moments cost 1/N HBM per chip. Like fsdp, the
+    multi-slice 'dcn' axis is left replicated so the update-time gathers stay
+    on intra-slice ICI."""
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, opt_leaf_zero1_sharding(mesh, x)), opt_state)
 

@@ -87,7 +87,8 @@ def loss_fn(
     104 at bs=8 plain — trade throughput for 8x the negatives per update
     (PERF.md round 3).
 
-    mesh (with a >1 'data' axis) composes fwd_chunk with data parallelism:
+    mesh (with >1 batch shards — a 'data' axis, plus 'dcn' on multi-slice
+    meshes) composes fwd_chunk with data parallelism:
     the tower forwards run under jax.shard_map — each chip remat-scans its
     OWN batch shard in chunk-sized pieces concurrently — and the reassembled
     global embeddings feed the loss, so negatives still span the GLOBAL
@@ -107,11 +108,18 @@ def loss_fn(
             return scan_chunked(jax.checkpoint(lambda mb: f(p, cfg, mb)),
                                 fwd_chunk)(lb)
 
-        if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from oatx.parallel.mesh import batch_axes, batch_shards
+
+        if mesh is not None and batch_shards(mesh) > 1:
             from jax.sharding import PartitionSpec as P
 
-            return jax.shard_map(local, mesh=mesh, in_specs=(P(), P("data")),
-                                 out_specs=P("data"), check_vma=False)(params, b)
+            # the batch spec must name EVERY axis the batch shards over
+            # (('dcn','data') on a multi-slice mesh): shard_map treats
+            # unmentioned mesh axes as replicated, which would silently give
+            # each dcn slice the wrong batch shard
+            bspec = P(batch_axes(mesh))
+            return jax.shard_map(local, mesh=mesh, in_specs=(P(), bspec),
+                                 out_specs=bspec, check_vma=False)(params, b)
         return local(params, b)
 
     if cfg.variant == "baseline":

@@ -95,7 +95,8 @@ class Trainer:
             object_nce_weight=exp.loss.object_nce_weight)
 
         self.mesh = mesh if mesh is not None else meshlib.make_mesh(
-            model_parallel=t.model_parallel)
+            model_parallel=t.model_parallel,
+            dcn_slices=getattr(t, "dcn_slices", 1))
         # explicit mesh= bypasses make_mesh's registration — register it so the
         # mesh-consulting guards (ln_mlp.use_pallas TP fallback, _sp_constrain)
         # see the mesh actually in use
@@ -106,7 +107,7 @@ class Trainer:
         # device_put fail deep inside the prefetch thread. Config batch_size is
         # per PROCESS (reference semantics: per-GPU batch, norm.json:43), so on
         # a multi-host mesh the sharded global batch is batch_size x processes.
-        data_axis = self.mesh.shape.get("data", 1)
+        data_axis = meshlib.batch_shards(self.mesh)  # dcn x data on multi-slice
         n_proc = jax.process_count()
         for l in train_loaders:  # val batches are padded to the multiple instead
             gb = l.batch_size * n_proc
@@ -114,14 +115,14 @@ class Trainer:
                 raise ValueError(
                     f"data_loader '{l.dataset_name}' global batch {gb} "
                     f"(batch_size={l.batch_size} x {n_proc} processes) is not "
-                    f"divisible by the mesh data axis ({data_axis} devices)")
+                    f"divisible by the mesh batch shards ({data_axis} devices)")
             if t.pipeline and t.model_parallel > 1:
                 m = t.pipeline_microbatches
                 if gb % m != 0 or (gb // m) % data_axis != 0:
                     raise ValueError(
                         f"pipeline mode: data_loader '{l.dataset_name}' "
                         f"global batch {gb} must be a multiple of "
-                        f"pipeline_microbatches ({m}) x data axis ({data_axis})")
+                        f"pipeline_microbatches ({m}) x batch shards ({data_axis})")
 
         # steps/epoch for the LR schedule (epoch-milestone step decay)
         cycle_batches = sum(l.batch_size for l in train_loaders) or 1
@@ -275,7 +276,7 @@ class Trainer:
                                                   tower_cfg=self.tower_cfg)
         fwd_chunk = getattr(t, "fwd_chunk", 0) or None
         step_mesh = None  # mesh handed to the step ONLY for the shard_map path
-        if fwd_chunk and self.mesh.shape.get("data", 1) > 1:
+        if fwd_chunk and meshlib.batch_shards(self.mesh) > 1:
             # multi-chip fwd_chunk = per-chip remat-scan under shard_map with
             # global-batch negatives (loss_fn). Needs replicated params: any
             # sharded-param scheme would have to re-gather inside the manual
@@ -312,7 +313,7 @@ class Trainer:
         # the batch dim is already split per chip, so the scan is disabled —
         # likewise for val batch sizes the scan cannot divide
         eval_chunk: Optional[int] = None
-        if self.mesh.shape.get("data", 1) == 1:
+        if meshlib.batch_shards(self.mesh) == 1:
             vb = max((l.batch_size for l in self.valid_loaders), default=1)
             if vb <= 8 or vb % 8 == 0:
                 eval_chunk = 8
@@ -572,7 +573,7 @@ class Trainer:
             if ema is not None:  # validate/monitor the EMA model
                 eval_params = ema
         multiple = max((l.batch_size for l in self.valid_loaders), default=1)
-        multiple = max(multiple, self.mesh.shape[meshlib.DATA_AXIS])
+        multiple = max(multiple, meshlib.batch_shards(self.mesh))
         for vi, loader in enumerate(self.valid_loaders):
             texts, vids = [], []
             for batch, n_valid in device_prefetch(
