@@ -50,6 +50,12 @@ def build_service(argv):
     p.add_argument("--buckets", default="1,4,16")
     p.add_argument("--index", default=None,
                    help="corpus index .npz (tools/build_index.py) enabling /search")
+    p.add_argument("--artifact", default=None,
+                   help="serve from an AOT-exported artifact directory "
+                        "(tools/export_serving.py) instead of building the "
+                        "model: no checkpoint load, no warmup compiles, no "
+                        "model code on the inference path — the config is "
+                        "still read for the tokenizer")
     our, rest = p.parse_known_args(argv)
 
     from oatx.utils.compile_cache import enable as _enable_cache
@@ -58,21 +64,26 @@ def build_service(argv):
     exp = load_experiment(rest, test=True)
     import jax.numpy as jnp
 
-    tower_cfg = build_tower_config(
-        exp.cfg.arch,
-        compute_dtype=jnp.bfloat16 if exp.cfg.trainer.precision == "bf16" else jnp.float32)
-    params = towers.init(jax.random.PRNGKey(0), tower_cfg)
-    ckpt = str(exp.resume) if exp.resume else exp.cfg.arch.load_checkpoint
-    if ckpt:
-        params = ckptlib.import_initial_weights(ckpt, tower_cfg, params)
     import pathlib
 
+    ckpt = str(exp.resume) if exp.resume else exp.cfg.arch.load_checkpoint
     search = [pathlib.Path(ckpt).parent] if ckpt else []
     tokenizer = resolve_tokenizer(exp.cfg, corpus=lambda: dataset_captions(exp.cfg) or ["a video"],
                                   search_dirs=search)
-    buckets = tuple(int(b) for b in our.buckets.split(","))
-    svc = EmbedService(params, tower_cfg, buckets=buckets)
-    svc.warmup(frames=exp.cfg.arch.video_params.num_frames)
+    if our.artifact:
+        from oatx.serve.export import ExportedEmbedder
+
+        svc = ExportedEmbedder(our.artifact)
+    else:
+        tower_cfg = build_tower_config(
+            exp.cfg.arch,
+            compute_dtype=jnp.bfloat16 if exp.cfg.trainer.precision == "bf16" else jnp.float32)
+        params = towers.init(jax.random.PRNGKey(0), tower_cfg)
+        if ckpt:
+            params = ckptlib.import_initial_weights(ckpt, tower_cfg, params)
+        buckets = tuple(int(b) for b in our.buckets.split(","))
+        svc = EmbedService(params, tower_cfg, buckets=buckets)
+        svc.warmup(frames=exp.cfg.arch.video_params.num_frames)
     index = None
     if our.index:
         from oatx.serve.retrieval_index import RetrievalIndex
