@@ -50,6 +50,11 @@ def build_service(argv):
     p.add_argument("--buckets", default="1,4,16")
     p.add_argument("--index", default=None,
                    help="corpus index .npz (tools/build_index.py) enabling /search")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="weight-only int8 kernels for the in-process backend "
+                        "(oatx.serve.quant): ~4x less weight HBM traffic per "
+                        "request; for artifacts, quantize at export time "
+                        "instead (tools/export_serving.py --quantize)")
     p.add_argument("--artifact", default=None,
                    help="serve from an AOT-exported artifact directory "
                         "(tools/export_serving.py) instead of building the "
@@ -82,7 +87,8 @@ def build_service(argv):
         if ckpt:
             params = ckptlib.import_initial_weights(ckpt, tower_cfg, params)
         buckets = tuple(int(b) for b in our.buckets.split(","))
-        svc = EmbedService(params, tower_cfg, buckets=buckets)
+        svc = EmbedService(params, tower_cfg, buckets=buckets,
+                           quantize=our.quantize)
         svc.warmup(frames=exp.cfg.arch.video_params.num_frames)
     index = None
     if our.index:

@@ -59,13 +59,24 @@ class EmbedService:
     """
 
     def __init__(self, params, tower_cfg, buckets: Sequence[int] = (1, 4, 16),
-                 seq_len: int = 30, scan_chunk: int = 8):
+                 seq_len: int = 30, scan_chunk: int = 8,
+                 quantize: Optional[str] = None):
         import jax
         import jax.numpy as jnp
 
         from oatx.models import towers
         from oatx.train.step import make_augmenter, scan_chunked
 
+        if quantize:  # weight-only int8: kernels live in HBM as int8 and are
+            # dequantized inside the compiled graph (oatx.serve.quant)
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            from oatx.serve.quant import dequantize_tree, quantize_tree
+
+            params = quantize_tree(params)
+            _dq = lambda p: dequantize_tree(p, jnp.float32)
+        else:
+            _dq = lambda p: p
         self.params = params
         self.cfg = tower_cfg
         self.buckets = sorted(buckets)
@@ -74,6 +85,7 @@ class EmbedService:
         aug = make_augmenter(train=False, tower_cfg=tower_cfg)
 
         def video_body(p, video_u8):
+            p = _dq(p)
             batch = aug(jax.random.PRNGKey(0), {"video": video_u8})
             return towers.compute_video(p, tower_cfg, batch["video"])["cls"]
 
@@ -88,7 +100,7 @@ class EmbedService:
             return video_body(p, video_u8)
 
         def text_fn(p, ids, mask):
-            return towers.compute_text(p, tower_cfg, ids, mask)
+            return towers.compute_text(_dq(p), tower_cfg, ids, mask)
 
         self._video_fn = jax.jit(video_fn)
         self._text_fn = jax.jit(text_fn)

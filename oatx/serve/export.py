@@ -62,7 +62,8 @@ def _export_platforms():
 
 def export_embed_fns(params, tower_cfg, *, frames: int, canon: int = 256,
                      seq_len: int = 30,
-                     platforms: Optional[Sequence[str]] = None):
+                     platforms: Optional[Sequence[str]] = None,
+                     quantized: bool = False):
     """Export the two serving functions, batch-dim symbolic.
 
     video: (b, frames, canon, canon, 3) uint8 → (b, D) float — includes the
@@ -70,6 +71,10 @@ def export_embed_fns(params, tower_cfg, *, frames: int, canon: int = 256,
     EmbedService.video body (embed_service.py) minus the bucket machinery the
     symbolic batch makes unnecessary.
     text:  (b, seq_len) ids + mask → (b, D).
+
+    quantized=True: `params` is an oatx.serve.quant int8 tree; the exported
+    graphs carry the dequantize so the ARTIFACT (and serving HBM) hold int8
+    kernels.
     """
     import jax
     from jax import export as jexport
@@ -78,13 +83,19 @@ def export_embed_fns(params, tower_cfg, *, frames: int, canon: int = 256,
     from oatx.train.step import make_augmenter
 
     aug = make_augmenter(train=False, tower_cfg=tower_cfg)
+    if quantized:
+        from oatx.serve.quant import dequantize_tree
+
+        _dq = lambda p: dequantize_tree(p, jax.numpy.float32)
+    else:
+        _dq = lambda p: p
 
     def video_fn(p, video_u8):
         batch = aug(jax.random.PRNGKey(0), {"video": video_u8})
-        return towers.compute_video(p, tower_cfg, batch["video"])["cls"]
+        return towers.compute_video(_dq(p), tower_cfg, batch["video"])["cls"]
 
     def text_fn(p, input_ids, attention_mask):
-        return towers.compute_text(p, tower_cfg, input_ids, attention_mask)
+        return towers.compute_text(_dq(p), tower_cfg, input_ids, attention_mask)
 
     (b,) = jexport.symbolic_shape("b")
     pspec = jax.tree_util.tree_map(
@@ -108,12 +119,29 @@ def export_embed_fns(params, tower_cfg, *, frames: int, canon: int = 256,
 
 def save_artifact(out_dir, params, tower_cfg, *, frames: int,
                   canon: int = 256, seq_len: int = 30,
-                  platforms: Optional[Sequence[str]] = None) -> Path:
-    """Export + write the artifact directory; returns its path."""
+                  platforms: Optional[Sequence[str]] = None,
+                  quantize: Optional[str] = None,
+                  quant_min_elems: int = 4096) -> Path:
+    """Export + write the artifact directory; returns its path.
+
+    quantize="int8": weight-only per-channel int8 kernels (oatx.serve.quant)
+    — ~4x smaller params.npz and ~4x less weight HBM traffic per request; the
+    dequantize is baked into the exported graphs so loading is unchanged.
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    quant_report = None
+    if quantize:
+        if quantize != "int8":
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        from oatx.serve.quant import quantization_report, quantize_tree
+
+        qparams = quantize_tree(params, min_elems=quant_min_elems)
+        quant_report = quantization_report(params, qparams)
+        params = qparams
     exported = export_embed_fns(params, tower_cfg, frames=frames, canon=canon,
-                                seq_len=seq_len, platforms=platforms)
+                                seq_len=seq_len, platforms=platforms,
+                                quantized=bool(quantize))
     (out / "video.stablehlo").write_bytes(exported["video"].serialize())
     (out / "text.stablehlo").write_bytes(exported["text"].serialize())
     flat = _flatten_params(params)
@@ -132,6 +160,7 @@ def save_artifact(out_dir, params, tower_cfg, *, frames: int,
         "platforms": list(exported["video"].platforms),
         "embed_dim": int(tower_cfg.projection_dim),
         "raw_dtypes": dtypes,
+        "quantize": quant_report,  # null for full precision
     }
     (out / "meta.json").write_text(json.dumps(meta, indent=1))
     return out

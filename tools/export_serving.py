@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     pre.add_argument("--platforms", default=None,
                      help="comma list, e.g. cpu,tpu (default: try both, "
                           "fall back to the native platform)")
+    pre.add_argument("--quantize", default=None, choices=["int8"],
+                     help="weight-only per-channel int8 kernels: ~4x smaller "
+                          "artifact, dequantize baked into the graphs "
+                          "(oatx.serve.quant)")
     our, rest = pre.parse_known_args(argv)
 
     import jax
@@ -60,14 +64,16 @@ def main(argv=None) -> int:
     out = save_artifact(
         our.out, params, tower_cfg,
         frames=exp.cfg.arch.video_params.num_frames,
-        canon=our.canon, seq_len=our.seq_len, platforms=platforms)
+        canon=our.canon, seq_len=our.seq_len, platforms=platforms,
+        quantize=our.quantize)
     import json
 
     meta = json.loads((out / "meta.json").read_text())
     sizes = {p.name: p.stat().st_size for p in sorted(out.iterdir())}
-    logger.info("artifact at %s platforms=%s files=%s",
-                out, meta["platforms"], sizes)
+    logger.info("artifact at %s platforms=%s quantize=%s files=%s",
+                out, meta["platforms"], meta.get("quantize"), sizes)
     print(json.dumps({"artifact": str(out), "platforms": meta["platforms"],
+                      "quantize": meta.get("quantize"),
                       "bytes": sum(sizes.values())}))
     return 0
 
