@@ -50,6 +50,10 @@ def build_service(argv):
     p.add_argument("--buckets", default="1,4,16")
     p.add_argument("--index", default=None,
                    help="corpus index .npz (tools/build_index.py) enabling /search")
+    p.add_argument("--index-quantize", default=None, choices=["int8"],
+                   help="hold the device corpus as per-row int8 (4x corpus "
+                        "per HBM byte; rank-stable SQ8) regardless of how the "
+                        "index file was saved")
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="weight-only int8 kernels for the in-process backend "
                         "(oatx.serve.quant): ~4x less weight HBM traffic per "
@@ -94,7 +98,8 @@ def build_service(argv):
     if our.index:
         from oatx.serve.retrieval_index import RetrievalIndex
 
-        index = RetrievalIndex.load(our.index)
+        kw = {"quantize": our.index_quantize} if our.index_quantize else {}
+        index = RetrievalIndex.load(our.index, **kw)
     return svc, tokenizer, index, our
 
 

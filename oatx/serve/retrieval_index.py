@@ -78,9 +78,23 @@ class RetrievalIndex:
         pad_multiple: int = 1024,
         score_chunk: int = 16384,
         query_buckets: Sequence[int] = (1, 4, 16),
+        quantize: Optional[str] = None,
     ):
+        """quantize="int8": the DEVICE corpus is per-row symmetric int8
+        (q · scale_row ≈ e_row) — 4x the corpus per HBM byte. Scores become
+        sims[b,r] = (q_b · c_r_int8) · scale_r, computed by factoring the
+        per-row scale OUT of the matmul so XLA reads int8 rows and fuses the
+        convert into the matmul prologue (no dequantized corpus is ever
+        materialized). The host/save() copy stays exact f32 — quantization is
+        a serving-time layout, re-derived on load/add. Rank fidelity is the
+        standard SQ8 story: per-row scales on L2-normalized vectors keep
+        cosine error ~0.3% of the score range (tests assert ranking
+        agreement, not exact scores)."""
         if pad_multiple < 1 or score_chunk < 1:
             raise ValueError("pad_multiple and score_chunk must be >= 1")
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = quantize
         # chunked scoring needs chunk-divisible pad lengths
         self.pad_multiple = int(pad_multiple)
         self.score_chunk = (max(int(score_chunk), self.pad_multiple)
@@ -127,15 +141,23 @@ class RetrievalIndex:
         return pad_len
 
     def _corpus(self):
+        import jax
         import jax.numpy as jnp
 
         if self._device_corpus is None:
             pad_len = self._padded_len()
             buf = np.zeros((pad_len, self._emb.shape[1]), np.float32)
             buf[: len(self.ids)] = self._emb
-            import jax
-
-            self._device_corpus = jax.device_put(jnp.asarray(buf))
+            if self.quantize == "int8":
+                amax = np.max(np.abs(buf), axis=1)
+                scale = np.maximum(amax, np.finfo(np.float32).tiny) / 127.0
+                q = np.clip(np.rint(buf / scale[:, None]), -127, 127
+                            ).astype(np.int8)
+                self._device_corpus = (jax.device_put(jnp.asarray(q)),
+                                       jax.device_put(
+                                           jnp.asarray(scale, jnp.float32)))
+            else:
+                self._device_corpus = jax.device_put(jnp.asarray(buf))
         return self._device_corpus
 
     # ---- search --------------------------------------------------------
@@ -151,30 +173,42 @@ class RetrievalIndex:
         from jax import lax
 
         chunk = self.score_chunk
+        quantized = self.quantize == "int8"
+
+        def scores(q, c, scale):
+            if scale is None:
+                return q @ c.T  # (B, rows)
+            # int8 corpus: per-row scale factored out of the matmul — XLA
+            # reads int8 rows and fuses the convert into the matmul prologue
+            return jnp.matmul(q, c.T.astype(q.dtype)) * scale[None, :]
 
         def fn(corpus, n_valid, q):
+            c_all, scale_all = corpus if quantized else (corpus, None)
             q = q / jnp.maximum(
                 jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
-            n_rows = corpus.shape[0]
+            n_rows = c_all.shape[0]
             if n_rows > chunk:
                 n_chunks = n_rows // chunk  # pad_len is chunk-divisible
-                corp = corpus.reshape(n_chunks, chunk, corpus.shape[1])
+                corp = c_all.reshape(n_chunks, chunk, c_all.shape[1])
+                scls = (scale_all.reshape(n_chunks, chunk) if quantized
+                        else jnp.zeros((n_chunks, 0)))
                 starts = jnp.arange(n_chunks) * chunk
 
                 def body(args):
-                    c, start = args
-                    sims = q @ c.T  # (B, chunk) — the only live sim buffer
+                    c, scl, start = args
+                    # (B, chunk) — the only live sim buffer
+                    sims = scores(q, c, scl if quantized else None)
                     valid = (start + jnp.arange(chunk))[None, :] < n_valid
                     sims = jnp.where(valid, sims, -jnp.inf)
                     s, i = lax.top_k(sims, k)
                     return s, i + start
 
-                ss, ii = lax.map(body, (corp, starts))  # (C, B, k)
+                ss, ii = lax.map(body, (corp, scls, starts))  # (C, B, k)
                 ss = jnp.moveaxis(ss, 0, 1).reshape(q.shape[0], -1)
                 ii = jnp.moveaxis(ii, 0, 1).reshape(q.shape[0], -1)
                 s, j = lax.top_k(ss, k)
                 return s, jnp.take_along_axis(ii, j, axis=1)
-            sims = q @ corpus.T
+            sims = scores(q, c_all, scale_all)
             valid = jnp.arange(n_rows)[None, :] < n_valid
             sims = jnp.where(valid, sims, -jnp.inf)
             return lax.top_k(sims, k)
@@ -204,9 +238,10 @@ class RetrievalIndex:
             queries = np.concatenate(
                 [queries, np.repeat(queries[-1:], b - n, axis=0)])
         corpus = self._corpus()
-        key = (corpus.shape[0], b, k)
+        n_rows = (corpus[0] if self.quantize else corpus).shape[0]
+        key = (n_rows, b, k)
         if key not in self._search_cache:
-            self._search_cache[key] = self._make_search(corpus.shape[0], k)
+            self._search_cache[key] = self._make_search(n_rows, k)
         scores, idx = self._search_cache[key](
             corpus, np.int32(len(self.ids)), queries)
         scores = np.asarray(scores)[:n]
@@ -223,7 +258,8 @@ class RetrievalIndex:
             path, embeddings=self._emb,
             ids=np.array(self.ids, dtype=object),
             meta=json.dumps({"pad_multiple": self.pad_multiple,
-                             "score_chunk": self.score_chunk}))
+                             "score_chunk": self.score_chunk,
+                             "quantize": self.quantize}))
 
     @classmethod
     def load(cls, path: str, **kwargs) -> "RetrievalIndex":

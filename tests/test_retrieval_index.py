@@ -210,3 +210,66 @@ def test_http_search_endpoints(rng):
         server.shutdown()
         server.server_close()
         _Handler.service, _Handler.tokenizer, _Handler.index = prev
+
+
+# ---- int8 corpus quantization ------------------------------------------
+
+
+def test_int8_index_ranking_agreement(rng):
+    """SQ8 corpus: top-k must agree with the f32 index on a random corpus —
+    structure/ranking assertions, never exact scores (CLAUDE.md conventions).
+    Covers both the plain and chunked scoring paths."""
+    corpus = rng.standard_normal((96, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    ids = [f"v{i}" for i in range(96)]
+    full = RetrievalIndex(corpus, ids, pad_multiple=16)
+    for kwargs in ({"score_chunk": 1 << 20}, {"score_chunk": 16}):
+        q8 = RetrievalIndex(corpus, ids, pad_multiple=16, quantize="int8",
+                            **kwargs)
+        got = q8.search(queries, k=5)
+        want = full.search(queries, k=5)
+        for grow, wrow in zip(got, want):
+            # top-1 identical; top-5 sets near-identical (ties may swap tail)
+            assert grow[0]["id"] == wrow[0]["id"]
+            assert len({r["id"] for r in grow}
+                       & {r["id"] for r in wrow}) >= 4
+            for g, w in zip(grow, wrow):  # scores track within SQ8 noise
+                assert abs(g["score"] - w["score"]) < 0.02
+
+
+def test_int8_index_save_load_roundtrip(rng, tmp_path):
+    corpus = rng.standard_normal((10, 8)).astype(np.float32)
+    idx = RetrievalIndex(corpus, [f"v{i}" for i in range(10)],
+                         pad_multiple=4, quantize="int8")
+    path = tmp_path / "idx.npz"
+    idx.save(str(path))
+    back = RetrievalIndex.load(str(path))
+    assert back.quantize == "int8"  # persisted in meta
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    assert [r[0]["id"] for r in back.search(q, k=3)] == \
+           [r[0]["id"] for r in idx.search(q, k=3)]
+    # load-time override: serve a f32-saved index quantized
+    f32 = RetrievalIndex(corpus, [f"v{i}" for i in range(10)], pad_multiple=4)
+    f32.save(str(tmp_path / "f32.npz"))
+    over = RetrievalIndex.load(str(tmp_path / "f32.npz"), quantize="int8")
+    assert over.quantize == "int8"
+    assert over.search(q, k=1)[0][0]["id"] == f32.search(q, k=1)[0][0]["id"]
+
+
+def test_int8_index_rejects_unknown_mode():
+    with pytest.raises(ValueError):
+        RetrievalIndex(quantize="fp4")
+
+
+def test_int8_incremental_add(rng):
+    """add() after a quantized search must re-derive the int8 corpus (the
+    device buffer is a serving-time layout, not state)."""
+    corpus = rng.standard_normal((8, 8)).astype(np.float32)
+    idx = RetrievalIndex(corpus, [f"v{i}" for i in range(8)],
+                         pad_multiple=4, quantize="int8")
+    q = rng.standard_normal((1, 8)).astype(np.float32)
+    idx.search(q, k=2)
+    new = rng.standard_normal((1, 8)).astype(np.float32)
+    idx.add(new, ["fresh"])
+    hits = idx.search(new, k=1)
+    assert hits[0][0]["id"] == "fresh"  # exact self-match survives int8
