@@ -212,7 +212,8 @@ class DataLoaderCfg:
 
 @dataclasses.dataclass
 class OptimizerCfg:
-    type: str = "AdamW"
+    type: str = "AdamW"  # AdamW (reference) | Adafactor (factored 2nd
+    # moments — the ViT-H-scale memory lever) | Lion | SGD (train/optim.py)
     lr: float = 2e-4
     weight_decay: float = 0.01
     grad_clip: Optional[float] = None

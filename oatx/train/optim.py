@@ -75,11 +75,50 @@ def make_optimizer(
     grad_clip: Optional[float] = None,
     trainable_filter=None,
     ema_decay: Optional[float] = None,
+    kind: str = "adamw",
 ) -> optax.GradientTransformation:
-    """AdamW (torch-default hyperparams), optional global-norm clipping, a
-    trainable-parameter mask (path-predicate) for linear-probe freezing, and
-    an optional post-update parameter EMA carried in the optimizer state."""
-    tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+    """Optimizer factory (`optimizer.type`), plus optional global-norm
+    clipping, a trainable-parameter mask (path-predicate) for linear-probe
+    freezing, and an optional post-update parameter EMA carried in the
+    optimizer state.
+
+      adamw     — torch-default hyperparams; the reference's optimizer
+                  (configs norm.json:82-87). Default. State: 2 moments
+                  (2x params bytes in f32).
+      adafactor — factored second moments (optax.adafactor): optimizer state
+                  collapses from O(params) to O(rows+cols) for matrix params.
+                  THE memory lever at ViT-H scale, where AdamW state
+                  (~10.6 GiB) is what forces remat on a 16 GB chip
+                  (PERF.md round-4 remat decision tree) — beyond the
+                  reference, standard for big-vision/T5-style TPU training.
+      lion      — sign-momentum (optax.lion): 1 moment (half of AdamW's
+                  state), typically wants ~3-10x smaller lr and ~3-10x larger
+                  weight decay than AdamW.
+      sgd       — momentum SGD + decoupled weight decay; the cheap baseline
+                  (1 moment).
+
+    All compose identically with grad_clip / freezing / EMA / zero1-fsdp
+    state sharding (the sharding rules are pytree-generic)."""
+    k = kind.lower()
+    if k == "adamw":
+        tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                         weight_decay=weight_decay)
+    elif k == "adafactor":
+        # multiply_by_parameter_scale=False: honor the configured lr/schedule
+        # exactly like the other families (True rescales per-param and wants
+        # the relative-step heuristics instead of an explicit schedule)
+        tx = optax.adafactor(learning_rate=lr,
+                             multiply_by_parameter_scale=False,
+                             weight_decay_rate=weight_decay or None)
+    elif k == "lion":
+        tx = optax.lion(lr, b1=betas[0], b2=0.99 if betas[1] == 0.999 else betas[1],
+                        weight_decay=weight_decay)
+    elif k == "sgd":
+        tx = optax.chain(optax.add_decayed_weights(weight_decay),
+                         optax.sgd(lr, momentum=betas[0], nesterov=True))
+    else:
+        raise ValueError(f"unknown optimizer type {kind!r} "
+                         "(expected adamw|adafactor|lion|sgd)")
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if trainable_filter is not None:

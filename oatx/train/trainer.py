@@ -170,7 +170,8 @@ class Trainer:
             lr=schedule, weight_decay=exp.optimizer.weight_decay,
             grad_clip=exp.optimizer.grad_clip,
             trainable_filter=tf,
-            ema_decay=t.ema_decay or None)
+            ema_decay=t.ema_decay or None,
+            kind=exp.optimizer.type)
 
         # params: fresh init → optional reference-checkpoint import → shard
         rng = jax.random.PRNGKey(t.seed)
