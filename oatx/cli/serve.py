@@ -207,16 +207,24 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
+def startup_banner(svc, index, our) -> str:
+    """The one-line JSON printed before the socket opens. Factored out of
+    main() so tests can cover it for BOTH backends (EmbedService has compile
+    buckets; ExportedEmbedder serves a symbolic batch → buckets == ())."""
+    return json.dumps({
+        "serving": f"http://{our.host}:{our.port}",
+        "buckets": list(getattr(svc, "buckets", ())),
+        "index_size": len(index) if index is not None else None,
+    })
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     svc, tokenizer, index, our = build_service(argv)
     _Handler.service = svc
     _Handler.tokenizer = tokenizer
     _Handler.index = index
     server = ThreadingHTTPServer((our.host, our.port), _Handler)
-    print(json.dumps({"serving": f"http://{our.host}:{our.port}",
-                      "buckets": list(svc.buckets),
-                      "index_size": len(index) if index is not None else None}),
-          flush=True)
+    print(startup_banner(svc, index, our), flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

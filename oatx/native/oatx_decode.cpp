@@ -773,12 +773,27 @@ int64_t oatx_transcode(const char* in_path, const char* out_path,
   SwsContext* sws = nullptr;
   AVFrame* dec_frame = av_frame_alloc();
   AVFrame* enc_frame = av_frame_alloc();
+  AVPacket* in_pkt = av_packet_alloc();
+  AVPacket* out_pkt = av_packet_alloc();
+  // allocation failure must route through bail() like every other -N path,
+  // not null-deref on enc_frame->format below
+  auto free_frames = [&]() {
+    if (in_pkt) av_packet_free(&in_pkt);
+    if (out_pkt) av_packet_free(&out_pkt);
+    if (dec_frame) av_frame_free(&dec_frame);
+    if (enc_frame) av_frame_free(&enc_frame);
+  };
+  if (!dec_frame || !enc_frame || !in_pkt || !out_pkt) {
+    free_frames();
+    return bail(-8);
+  }
   enc_frame->format = c->pix_fmt;
   enc_frame->width = c->width;
   enc_frame->height = c->height;
-  av_frame_get_buffer(enc_frame, 0);
-  AVPacket* in_pkt = av_packet_alloc();
-  AVPacket* out_pkt = av_packet_alloc();
+  if (av_frame_get_buffer(enc_frame, 0) < 0) {
+    free_frames();
+    return bail(-8);
+  }
   int64_t written = 0;
   bool fail = false;
 

@@ -60,7 +60,8 @@ class EmbedService:
 
     def __init__(self, params, tower_cfg, buckets: Sequence[int] = (1, 4, 16),
                  seq_len: int = 30, scan_chunk: int = 8,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 quant_min_elems: int = 4096):
         import jax
         import jax.numpy as jnp
 
@@ -73,7 +74,9 @@ class EmbedService:
                 raise ValueError(f"unknown quantize mode {quantize!r}")
             from oatx.serve.quant import dequantize_tree, quantize_tree
 
-            params = quantize_tree(params)
+            # quant_min_elems mirrors save_artifact's knob so small/toy towers
+            # can quantize too (quantize_tree refuses an empty kernel match)
+            params = quantize_tree(params, min_elems=quant_min_elems)
             _dq = lambda p: dequantize_tree(p, jnp.float32)
         else:
             _dq = lambda p: p

@@ -179,6 +179,10 @@ class ExportedEmbedder:
         d = Path(artifact_dir)
         self.meta = json.loads((d / "meta.json").read_text())
         self.seq_len = int(self.meta["seq_len"])  # handler contract
+        # exported graphs take a SYMBOLIC batch dim — there is no bucketing,
+        # but the attribute keeps the EmbedService interface (cli.serve's
+        # startup banner reads it)
+        self.buckets = ()
         self.stats = {"video": LatencyStats(), "text": LatencyStats()}
         self._video = jexport.deserialize((d / "video.stablehlo").read_bytes())
         self._text = jexport.deserialize((d / "text.stablehlo").read_bytes())

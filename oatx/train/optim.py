@@ -70,7 +70,7 @@ def make_schedule(
 def make_optimizer(
     lr: float | optax.Schedule = 2e-4,
     weight_decay: float = 0.01,
-    betas: Tuple[float, float] = (0.9, 0.999),
+    betas: Optional[Tuple[float, float]] = None,
     eps: float = 1e-8,
     grad_clip: Optional[float] = None,
     trainable_filter=None,
@@ -100,6 +100,10 @@ def make_optimizer(
     All compose identically with grad_clip / freezing / EMA / zero1-fsdp
     state sharding (the sharding rules are pytree-generic)."""
     k = kind.lower()
+    # betas=None → per-family defaults (adamw/sgd: torch defaults; lion:
+    # the paper's (0.9, 0.99)); an explicit betas is always honored verbatim
+    if betas is None:
+        betas = (0.9, 0.99) if k == "lion" else (0.9, 0.999)
     if k == "adamw":
         tx = optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
                          weight_decay=weight_decay)
@@ -111,11 +115,15 @@ def make_optimizer(
                              multiply_by_parameter_scale=False,
                              weight_decay_rate=weight_decay or None)
     elif k == "lion":
-        tx = optax.lion(lr, b1=betas[0], b2=0.99 if betas[1] == 0.999 else betas[1],
+        tx = optax.lion(lr, b1=betas[0], b2=betas[1],
                         weight_decay=weight_decay)
     elif k == "sgd":
-        tx = optax.chain(optax.add_decayed_weights(weight_decay),
-                         optax.sgd(lr, momentum=betas[0], nesterov=True))
+        # true decoupled decay (SGDW): the decay term is added AFTER the
+        # momentum accumulator so it never enters the velocity, then both are
+        # scaled by the lr — matching the 'decoupled' docstring above
+        tx = optax.chain(optax.trace(decay=betas[0], nesterov=True),
+                         optax.add_decayed_weights(weight_decay),
+                         optax.scale_by_learning_rate(lr))
     else:
         raise ValueError(f"unknown optimizer type {kind!r} "
                          "(expected adamw|adafactor|lion|sgd)")

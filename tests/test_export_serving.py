@@ -106,6 +106,25 @@ def test_video_shape_validated(artifact, rng):
         emb.embed_video(bad)
 
 
+def test_startup_banner_both_backends(artifact, tiny_cfg_params):
+    """cli.serve's startup banner must work for BOTH backends — the artifact
+    backend has no compile buckets (symbolic batch), which used to crash
+    main() with AttributeError before the socket ever opened."""
+    from types import SimpleNamespace
+
+    from oatx.cli.serve import startup_banner
+    from oatx.serve.embed_service import EmbedService
+    from oatx.serve.export import ExportedEmbedder
+
+    our = SimpleNamespace(host="127.0.0.1", port=8600)
+    d = json.loads(startup_banner(ExportedEmbedder(artifact), None, our))
+    assert d["buckets"] == [] and d["index_size"] is None
+    cfg, params = tiny_cfg_params
+    svc = EmbedService(params, cfg, buckets=(2, 1), seq_len=SEQ)
+    d2 = json.loads(startup_banner(svc, None, our))
+    assert d2["buckets"] == [1, 2]
+
+
 def test_http_serve_from_artifact(artifact, rng):
     """cli.serve's handler runs unchanged on the artifact backend — the
     --artifact serving path end-to-end over real HTTP."""

@@ -68,6 +68,56 @@ def test_family_optimizes(kind):
     assert last < 0.5 * first, (kind, first, last)
 
 
+def test_sgd_weight_decay_is_decoupled():
+    """With ZERO gradients the momentum buffer must stay zero, so each step
+    shrinks params by exactly (1 - lr*wd) — coupled (torch-style) decay would
+    feed wd*p into the velocity and overshoot from step 2 on."""
+    import optax
+
+    lr, wd = 0.1, 0.5
+    tx = optimlib.make_optimizer(lr=lr, weight_decay=wd, kind="sgd")
+    params = {"w": jnp.full((4,), 2.0)}
+    state = tx.init(params)
+    for _ in range(2):
+        updates, state = tx.update({"w": jnp.zeros((4,))}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               2.0 * (1 - lr * wd) ** 2, rtol=1e-6)
+
+
+def test_lion_betas_honored_and_defaulted():
+    """betas=(0.9, 0.999) passed explicitly must reach optax.lion verbatim
+    (no value-sniffing remap); betas=None takes the lion family default
+    (0.9, 0.99)."""
+    import optax
+
+    params = _toy_params(jax.random.PRNGKey(3))
+
+    def one_update(tx):
+        state = tx.init(params)
+        x = jnp.ones((8, params["w"].shape[0]))
+        y = jnp.zeros((8, 8))
+        p, s = params, state
+        for _ in range(3):  # >1 step so b2 (the momentum EMA rate) matters
+            grads = jax.grad(_loss)(p, x, y)
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+        return p
+
+    explicit = one_update(optimlib.make_optimizer(
+        lr=1e-3, weight_decay=0.0, kind="lion", betas=(0.9, 0.999)))
+    raw999 = one_update(optax.lion(1e-3, b1=0.9, b2=0.999, weight_decay=0.0))
+    default = one_update(optimlib.make_optimizer(
+        lr=1e-3, weight_decay=0.0, kind="lion"))
+    raw99 = one_update(optax.lion(1e-3, b1=0.9, b2=0.99, weight_decay=0.0))
+    for k in ("w", "b"):
+        np.testing.assert_allclose(np.asarray(explicit[k]),
+                                   np.asarray(raw999[k]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(default[k]),
+                                   np.asarray(raw99[k]), rtol=1e-6)
+    assert not np.allclose(np.asarray(explicit["w"]), np.asarray(default["w"]))
+
+
 def test_unknown_family_rejected():
     with pytest.raises(ValueError):
         optimlib.make_optimizer(kind="adamax")

@@ -101,16 +101,9 @@ def test_embed_service_quantized_tracks_full_precision(tiny_cfg_params):
     from oatx.serve.embed_service import EmbedService
 
     cfg, params = tiny_cfg_params
-    import oatx.serve.quant as quant
-
-    orig = quant.quantize_tree
-    try:  # service uses the default min_elems; tiny kernels need the override
-        quant.quantize_tree = lambda p, **kw: orig(p, min_elems=MIN_ELEMS)
-        full = EmbedService(params, cfg, buckets=(2,), seq_len=SEQ)
-        q8 = EmbedService(params, cfg, buckets=(2,), seq_len=SEQ,
-                          quantize="int8")
-    finally:
-        quant.quantize_tree = orig
+    full = EmbedService(params, cfg, buckets=(2,), seq_len=SEQ)
+    q8 = EmbedService(params, cfg, buckets=(2,), seq_len=SEQ,
+                      quantize="int8", quant_min_elems=MIN_ELEMS)
     rng = np.random.default_rng(2)
     v = rng.integers(0, 256, (2, FRAMES, CANON, CANON, 3)).astype(np.uint8)
     ids = rng.integers(1, 64, (2, SEQ)).astype(np.int32)
