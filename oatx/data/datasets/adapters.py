@@ -370,6 +370,13 @@ class SyntheticVideoText(TextVideoDataset):
         codec = str(self.video_params.get("fixture_codec", "mjpeg"))
         gop = int(self.video_params.get("fixture_gop", 0))
         fps = int(self.video_params.get("fixture_fps", 8))
+        # fixture_seeded: give clip i the visual signature seed=i (pattern
+        # frequency/phase + chroma, video_reader.write_test_video) so the
+        # corpus is SEPARABLE — caption i is identifiable from pixels alone.
+        # Default off: the historical fixtures are deliberately identical
+        # (pipeline tests want content-independent invariants). The
+        # learnability proof (tests/test_learnability.py) turns it on.
+        seeded = bool(self.video_params.get("fixture_seeded", False))
         ext = ".avi" if codec == "mjpeg" else ".mp4"
         self._fixture_ext = ext
         os.makedirs(self.data_dir, exist_ok=True)
@@ -383,6 +390,7 @@ class SyntheticVideoText(TextVideoDataset):
             path = os.path.join(self.data_dir, vid + ext)
             if not os.path.exists(path):
                 vr.write_test_video(path, fw, fh, ff or 24 + (i % 3) * 8, fps,
+                                    seed=i if seeded else 0,
                                     codec=codec, gop=gop)
             cap = f"a {nouns[i % len(nouns)]} {verbs[i % len(verbs)]} in scene {i}"
             self.metadata.append({"videoid": vid, "caption": cap})

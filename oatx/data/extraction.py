@@ -2,14 +2,23 @@
 
 The reference's ObjectExtractor (multiprocess_full_webvid_multiframe_*.py) drives
 an external BUTD/detectron2 GPU detector over 8 uniformly-sampled frames per clip
-and writes one `.npz {x, bbox, info}` per frame, resumably. oatx reproduces the
-*pipeline* (work-list sharding, uniform frame grid, resumable skip/loss-list
-accounting, multiprocess workers, progress counters) with a pluggable detector:
+(ObjectExtractor/...webvid...py:91-99,180-190) and writes one `.npz {x, bbox,
+info}` per frame, resumably. oatx reproduces the *pipeline* (work-list sharding,
+uniform frame grid, resumable skip/loss-list accounting, multiprocess workers,
+progress counters) with a pluggable detector — three shipped, all working:
 
-  * StubDetector        — deterministic synthetic regions (hermetic tests/demos);
-  * TorchHubDetector    — adapter stub for a real detector (BUTD/detectron2 or any
-                          torchvision detection model) when its weights are
-                          available on the host; documented, not bundled.
+  * StubDetector         — deterministic synthetic regions (hermetic tests/demos).
+  * TorchScriptDetector  — adapter for ANY torch detector exported as a
+                           TorchScript module (torch.jit.load; fully offline).
+                           The module contract is frame → (features, boxes,
+                           class_ids, confidences); wrap BUTD/detectron2 or a
+                           torchvision model behind that signature and export.
+  * RoiBackboneExtractor — the TPU-native path the reference cannot do: given
+                           proposer boxes, frames go through oatx's own
+                           first-party backbone (the trained video tower) and
+                           region features are ROI-align pooled from its patch
+                           grid under jit (oatx.ops.roi_align). Regenerates the
+                           same npz contract with no detectron2/GPU dependency.
 
 Output contract matches the training-side readers exactly
 (oatx.data.objects._load_npz / reference base_dataset.py:604-650).

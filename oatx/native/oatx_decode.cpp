@@ -591,13 +591,24 @@ int oatx_write_test_video_ex(const char* path, int width, int height, int n,
                              int gop) {
   // seed 0 keeps the historical pattern; nonzero seeds vary spatial
   // frequency, phase and chroma so multi-video fixtures are visually distinct
-  // (rank-parity tests need separable content).
+  // (rank-parity and learnability tests need SEPARABLE content). Chroma sits
+  // on a golden-angle ring of radius 90 around (128,128): consecutive seeds
+  // land maximally far apart, and the flat frame-wide chroma survives any
+  // crop/flip/frame-sample — a small model can identify the clip from any
+  // augmented view.
   unsigned s = seed * 2654435761u;
   const int phase = (int)(s & 0xFFu);
   const int fx = 1 + (int)((s >> 8) & 3u);
   const int fy = 1 + (int)((s >> 10) & 3u);
-  const int cu = 128 + (int)((s >> 12) & 0x3Fu) - 32;
-  const int cv = 128 + (int)((s >> 18) & 0x3Fu) - 32;
+  int cu = 128, cv = 128;
+  if (seed != 0) {
+    const double ang = (double)seed * 2.39996322972865332;  // golden angle
+    cu = 128 + (int)std::lround(90.0 * std::cos(ang));
+    cv = 128 + (int)std::lround(90.0 * std::sin(ang));
+  } else {
+    cu = 128 + (int)((s >> 12) & 0x3Fu) - 32;  // == 96 at seed 0 (historical)
+    cv = 128 + (int)((s >> 18) & 0x3Fu) - 32;
+  }
   const bool mjpeg = !codec_name || std::strcmp(codec_name, "mjpeg") == 0;
   const AVCodec* enc = mjpeg ? avcodec_find_encoder(AV_CODEC_ID_MJPEG)
                              : avcodec_find_encoder_by_name(codec_name);
@@ -645,12 +656,18 @@ int oatx_write_test_video_ex(const char* path, int width, int height, int n,
   av_frame_get_buffer(frame, 0);
   AVPacket* pkt = av_packet_alloc();
 
+  // nonzero seeds also get a flat per-seed luma band over the middle third —
+  // a second independent signature dimension (chroma ring neighbors stay
+  // separable); like the chroma it is constant across frames and crops
+  const int band_luma = (int)(20u + ((s >> 24) * 131u) % 216u);
   for (int i = 0; i < n; i++) {
     av_frame_make_writable(frame);
     for (int y = 0; y < height; y++)
       for (int x = 0; x < width; x++)
         frame->data[0][y * frame->linesize[0] + x] =
-            (uint8_t)((x * fx + y * fy + i * 16 + phase) & 0xFF);
+            (seed != 0 && y >= height / 3 && y < 2 * height / 3)
+                ? (uint8_t)band_luma
+                : (uint8_t)((x * fx + y * fy + i * 16 + phase) & 0xFF);
     // stamp frame index into an 8x8 flat block (survives JPEG)
     for (int y = 0; y < 8 && y < height; y++)
       for (int x = 0; x < 8 && x < width; x++)
