@@ -71,16 +71,138 @@ class StubDetector:
         return feats, boxes, ids, confs
 
 
+class TorchScriptDetector:
+    """Adapter for a real torch detector exported as TorchScript.
+
+    The reference hard-requires the external bottom-up-attention.pytorch
+    (detectron2 R101) stack at import time
+    (ObjectExtractor/...webvid...py:91-99); oatx instead takes the detector as
+    a self-contained TorchScript artifact (torch.jit.load — fully offline, no
+    model code needed on this host). Export contract: the scripted module maps
+    a float32 CHW image in [0,1] to a 4-tuple
+    (features (N,D), boxes (N,4) xyxy pixels, class_ids (N,), confidences (N,)).
+    Wrap BUTD/detectron2 (or a torchvision detection model) behind that
+    signature on the machine that has it, `torch.jit.script(...).save(path)`,
+    and point --detector-weights here."""
+
+    def __init__(self, weights_path: str):
+        import torch
+
+        self.torch = torch
+        self.module = torch.jit.load(weights_path, map_location="cpu")
+        self.module.eval()
+
+    def __call__(self, frame_rgb: np.ndarray) -> Detection:
+        t = self.torch.from_numpy(
+            np.ascontiguousarray(frame_rgb, np.float32) / 255.0
+        ).permute(2, 0, 1)
+        with self.torch.no_grad():
+            feats, boxes, ids, confs = self.module(t)
+        return (feats.numpy().astype(np.float32),
+                boxes.numpy().astype(np.float32),
+                ids.numpy(),
+                confs.numpy().astype(np.float32))
+
+
 def load_torch_detector(weights_path: str):
-    """Adapter for a real detector. The reference depends on the external
-    bottom-up-attention.pytorch repo (detectron2 R101 — object_extraction.md);
-    plug any callable frame→Detection here. Raises with instructions if the
-    heavy dependencies are absent."""
-    raise NotImplementedError(
-        "Real BUTD extraction needs the external bottom-up-attention.pytorch "
-        "(detectron2) stack; wrap its per-frame output as "
-        "(features, boxes, class_ids, confidences) and pass it as `detector` "
-        f"to extract_dataset. (weights: {weights_path})")
+    """Load a TorchScript detector artifact (see TorchScriptDetector)."""
+    return TorchScriptDetector(weights_path)
+
+
+class RoiBackboneExtractor:
+    """TPU-side region-feature extractor: proposer boxes + oatx's own backbone.
+
+    Beats the reference's extraction story on its own terms: the reference
+    NEEDS detectron2 + GPUs to (re)generate object features; oatx batches
+    frames through its first-party video tower (any trained oatx checkpoint —
+    the same weights training/serving already use) and pools region features
+    from the final-layer patch grid with bilinear ROI-align
+    (oatx.ops.roi_align) under jit. Writes the identical npz contract
+    (base_dataset.py:604-650 consumers), with backbone features zero-padded to
+    the 2048-d slot when the tower is narrower, so the region_mem /
+    global_local lanes consume the output unchanged.
+
+    `proposer(frame) → (boxes_xyxy_pixels (K,4), class_ids (K,), confs (K,))`
+    supplies the regions; the default reuses StubDetector's deterministic
+    content-hash boxes (a saliency/region-proposal model can be plugged the
+    same way). Frames are stretch-resized to the tower's square input — boxes
+    are proposed in original pixel space and stored in original pixel space
+    (consumers normalize by the stored image_w/h, objects.py
+    scaled_box_geometry), so the stretch does not skew the contract."""
+
+    def __init__(self, params, tower_cfg, proposer=None, num_regions: int = 10,
+                 output_size: int = 2, feature_pad: int = 2048):
+        import jax
+        import jax.numpy as jnp
+
+        from oatx.data import transforms as T
+        from oatx.models import vit_spacetime as vst
+        from oatx.ops.roi_align import roi_align
+
+        self.cfg = tower_cfg
+        self.num_regions = num_regions
+        self.feature_pad = feature_pad
+        if proposer is None:
+            stub = StubDetector(num_regions=num_regions)
+            proposer = lambda f: stub(f)[1:]  # boxes, ids, confs
+        self.proposer = proposer
+        size = tower_cfg.video.img_size
+        self.size = size
+        grid = size // tower_cfg.video.patch_size
+        tcfg = T.TransformConfig(input_res=size)
+
+        def features_fn(p, frame_u8, boxes_norm):
+            # (1, 1, S, S, 3) uint8 + (1, K, 4) normalized xyxy → (K, D)
+            x = T.normalize(frame_u8.astype(jnp.float32) / 255.0, tcfg)
+            out = vst.apply(p["video"], tower_cfg.video,
+                            x.astype(tower_cfg.compute_dtype))
+            patches = out["patches"].astype(jnp.float32)  # (1, N, D) at F=1
+            fmap = patches.reshape(1, grid, grid, patches.shape[-1])
+            pooled = roi_align(fmap, boxes_norm, output_size=output_size)
+            return pooled.mean(axis=(2, 3))[0]  # (K, D)
+
+        self._features = jax.jit(features_fn)
+        self._params = params
+
+    def __call__(self, frame_rgb: np.ndarray) -> Detection:
+        import jax.numpy as jnp
+
+        h, w = frame_rgb.shape[:2]
+        boxes, ids, confs = self.proposer(frame_rgb)
+        boxes = np.asarray(boxes, np.float32)[: self.num_regions]
+        norm = boxes / np.asarray([w, h, w, h], np.float32)
+        frame_sq = _stretch_resize_u8(frame_rgb, self.size)
+        feats = np.asarray(self._features(
+            self._params,
+            jnp.asarray(frame_sq)[None, None],
+            jnp.asarray(np.clip(norm, 0.0, 1.0))[None]))
+        if feats.shape[1] < self.feature_pad:
+            feats = np.concatenate(
+                [feats, np.zeros((feats.shape[0],
+                                  self.feature_pad - feats.shape[1]),
+                                 np.float32)], axis=1)
+        return feats.astype(np.float32), boxes, np.asarray(ids), \
+            np.asarray(confs, np.float32)
+
+
+def _stretch_resize_u8(frame: np.ndarray, size: int) -> np.ndarray:
+    """(H, W, 3) uint8 → (size, size, 3) uint8, bilinear, half-pixel centers.
+    Pure numpy so extraction workers never touch the accelerator for resize."""
+    h, w = frame.shape[:2]
+    if h == size and w == size:
+        return frame
+    ys = (np.arange(size) + 0.5) * (h / size) - 0.5
+    xs = (np.arange(size) + 0.5) * (w / size) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = frame.astype(np.float32)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    return np.clip(top * (1 - wy) + bot * wy + 0.5, 0, 255).astype(np.uint8)
 
 
 def save_roi_npz(path: str, features, boxes, class_ids, confs,
