@@ -2,6 +2,7 @@
 (tests/test_multiprocess_e2e.py). Run as:
 
     python tests/multiproc_worker.py step  <pid> <nproc> <port> <out.json>
+    python tests/multiproc_worker.py dcn   <pid> <nproc> <port> <out.json>
     python tests/multiproc_worker.py cli   <pid> <nproc> <port> <out.json> <cfg>
 
 Each process owns 4 virtual CPU devices (XLA_FLAGS set by the parent); with
@@ -34,6 +35,8 @@ def main():
 
     if mode == "step":
         result = run_step_mode()
+    elif mode == "dcn":
+        result = run_dcn_mode()
     elif mode == "cli":
         result = run_cli_mode(sys.argv[6])
     else:
@@ -99,6 +102,63 @@ def run_step_mode():
     return {"losses": losses,
             "process_count": jax.process_count(),
             "n_devices": len(jax.devices())}
+
+
+def run_dcn_mode():
+    """Multi-slice pod lane ACROSS a real process boundary (VERDICT r4 #4):
+    a ('dcn','data') mesh with dcn_slices=2 + fsdp param sharding, where with
+    nproc=2 each dcn row (one would-be ICI slice) is exactly one OS process —
+    the per-step gradient reduce on the dcn axis is a genuine cross-process
+    (Gloo) collective, and the fsdp weight gathers stay intra-process, exactly
+    the pod layout make_mesh documents. Same deterministic global batches as
+    run_step_mode so the parent can compare against a single-process run."""
+    import numpy as np
+    import jax
+    import optax
+
+    from oatx.models import distilbert as dbert
+    from oatx.models import towers
+    from oatx.models import vit_spacetime as vst
+    from oatx.parallel import mesh as meshlib
+    from oatx.parallel import sharding as shardlib
+    from oatx.train import step as steplib
+
+    mesh = meshlib.make_mesh(8, model_parallel=1, dcn_slices=2)
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, num_frames=2,
+                                     embed_dim=64, depth=2, num_heads=4),
+        text=dbert.DistilBertConfig(vocab_size=128, dim=64, hidden_dim=128,
+                                    n_layers=2, n_heads=4,
+                                    max_position_embeddings=32),
+        projection_dim=32,
+    )
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    params = shardlib.shard_params_fsdp(mesh, params)
+    optimizer = optax.adamw(1e-3)
+    state = steplib.init_state(jax.random.PRNGKey(0), cfg, optimizer,
+                               params=params)
+    train_step = steplib.make_train_step(cfg, steplib.LossConfig(), optimizer,
+                                         augment=None, donate=False, mesh=mesh)
+
+    losses = []
+    local = 8 // jax.process_count()
+    r0 = jax.process_index() * local
+    for t in range(3):
+        rng = np.random.default_rng(100 + t)
+        video = rng.standard_normal((8, 2, 32, 32, 3)).astype(np.float32)
+        ids = rng.integers(1, 128, (8, 12)).astype(np.int32)
+        maskv = np.ones((8, 12), np.int32)
+        batch = {
+            "video": meshlib.put_array(mesh, video[r0: r0 + local]),
+            "input_ids": meshlib.put_array(mesh, ids[r0: r0 + local]),
+            "attention_mask": meshlib.put_array(mesh, maskv[r0: r0 + local]),
+        }
+        state, metrics = train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    return {"losses": losses,
+            "process_count": jax.process_count(),
+            "n_devices": len(jax.devices()),
+            "mesh_axes": dict(mesh.shape)}
 
 
 def run_cli_mode(cfg_path):
