@@ -278,6 +278,10 @@ class TrainerCfg:
     monitor: str = "min val_loss_0"
     early_stop: int = 10
     init_val: bool = True
+    val_period: int = 1        # validate every N epochs (reference validates
+    # every epoch — base_trainer.py:101; >1 amortizes eval cost on long
+    # overfit/ablation runs; the last epoch always validates so monitor/best
+    # still sees a final score)
     neptune: bool = False
     precision: str = "bf16"
     model_parallel: int = 1

@@ -369,7 +369,9 @@ class Trainer:
             if self._preempted:
                 self.logger.warning("stopping after preemption checkpoint (epoch %d)", epoch)
                 break
-            if self.valid_loaders:
+            val_period = max(int(getattr(t, "val_period", 1)), 1)
+            if self.valid_loaders and (epoch % val_period == 0
+                                       or epoch == t.epochs):
                 log.update(self._valid_epoch(epoch))
             history[epoch] = log
             for k, v in log.items():

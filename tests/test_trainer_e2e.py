@@ -281,3 +281,27 @@ def test_in_run_profiler_capture(tmp_path):
     assert traces, "no trace file captured under log_dir/profile"
     rows = summarize_trace(str(tmp_path / "log" / "profile"), top=3)
     assert rows and all(r["total_ms"] >= 0 for r in rows)
+
+
+def test_val_period_amortizes_validation(trained, tmp_path):
+    """trainer.val_period=3: only epochs 3k (and the final epoch) validate;
+    others train without paying the eval pass."""
+    _, cfg, _ = trained
+    from oatx.config.schema import ExperimentCfg
+    from oatx.data.factory import build_loaders
+    from oatx.data.tokenizer import WordPieceTokenizer
+    from oatx.train.trainer import Trainer
+
+    cfg = dict(cfg)
+    cfg["trainer"] = {**cfg["trainer"], "epochs": 4, "init_val": False,
+                      "val_period": 3}
+    exp = ExperimentCfg.from_dict(cfg)
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"a dog runs in scene {i}" for i in range(20)], vocab_size=256)
+    train_loaders = build_loaders(exp, tok, split="train")
+    val_loaders = build_loaders(exp, tok, split="val")
+    tr = Trainer(exp, train_loaders, val_loaders, save_dir=None, log_dir=None)
+    hist = tr.train()
+    validated = {e for e, log in hist.items() if "val_loss_0" in log}
+    # epoch 3 (period) and epoch 4 (final) — never 1 or 2
+    assert validated == {3, 4}, validated
