@@ -140,6 +140,12 @@ def compute_text(
     model.py:104-110 dispatch); clip → EOT-pooled @ text_projection
     (oatx first-party tower, models/clip_text.py — causal mask, so
     attention_mask is unused)."""
+    with jax.named_scope("text_tower"):
+        return _compute_text(params, cfg, input_ids, attention_mask,
+                             return_tokens)
+
+
+def _compute_text(params, cfg, input_ids, attention_mask, return_tokens):
     if cfg.text_family == "clip":
         from oatx.models import clip_text as ct
 
@@ -171,8 +177,9 @@ def compute_text(
 
 def compute_video(params: Params, cfg: TowerConfig, video: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Video tower forward → dict(cls=(B,D_proj), patches/region as configured)."""
-    out = vst.apply(params["video"], cfg.video, video.astype(cfg.compute_dtype))
-    res = {"cls": _vid_proj(params, cfg, out["cls"].astype(jnp.float32))}
+    with jax.named_scope("video_tower"):
+        out = vst.apply(params["video"], cfg.video, video.astype(cfg.compute_dtype))
+        res = {"cls": _vid_proj(params, cfg, out["cls"].astype(jnp.float32))}
     if "patches" in out:
         res["patches"] = out["patches"]
     if "region" in out:

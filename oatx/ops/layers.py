@@ -10,12 +10,20 @@ Conventions (TPU/JAX-idiomatic, NOT torch layouts):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 Params = Dict[str, Any]
+
+# A/B experiment hook (PERF.md round 5): OATX_LN_STATS_BF16=1 computes LN
+# statistics in the input dtype instead of f32. NOT a shipped default — the
+# f32-stats convention is a numerical-safety invariant; this exists to put a
+# measured number on what the upcast costs (expected ~nothing: LN fuses into
+# matmul prologues, PERF.md round 2).
+_LN_STATS_IN_DTYPE = os.environ.get("OATX_LN_STATS_BF16") == "1"
 
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -26,11 +34,11 @@ def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    xf = x.astype(jnp.float32)
+    xf = x if _LN_STATS_IN_DTYPE else x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    y = (xf - mean) * jax.lax.rsqrt(var + jnp.asarray(eps, xf.dtype))
+    y = y * params["scale"].astype(xf.dtype) + params["bias"].astype(xf.dtype)
     return y.astype(x.dtype)
 
 
