@@ -675,8 +675,13 @@ int oatx_write_test_video_ex(const char* path, int width, int height, int n,
             (uint8_t)std::min(255, 16 + i * 8);
     for (int y = 0; y < height / 2; y++)
       for (int x = 0; x < width / 2; x++) {
-        frame->data[1][y * frame->linesize[1] + x] = (uint8_t)cu;
-        frame->data[2][y * frame->linesize[2] + x] = (uint8_t)cv;
+        // keep the frame-index stamp block chroma-NEUTRAL under the seeded
+        // ring chroma: radius-90 chroma can clip an RGB channel to 0/255 and
+        // destroy the stamp's monotonicity in pixel space (the index-
+        // alignment tests read it). seed 0 keeps the historical flat chroma.
+        const bool stamp = seed != 0 && y < 4 && x < 4;
+        frame->data[1][y * frame->linesize[1] + x] = (uint8_t)(stamp ? 128 : cu);
+        frame->data[2][y * frame->linesize[2] + x] = (uint8_t)(stamp ? 128 : cv);
       }
     frame->pts = i;
     frame->quality = c->global_quality;

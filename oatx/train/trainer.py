@@ -486,7 +486,7 @@ class Trainer:
         if last_metrics is not None:
             _ = float(last_metrics["loss"])  # drain device queue
         wall = time.perf_counter() - wall_start
-        out = {}
+        out = {"epoch_time": wall}
         if wall > 0 and sum(steps_per_loader):
             out["input_wait"] = data_wait / wall
             self.writer.add_scalar("input_wait", out["input_wait"])
