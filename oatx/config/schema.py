@@ -297,6 +297,16 @@ class TrainerCfg:
     # negatives), ~4/3 FLOPs. Single chip, or a >1 data axis with replicated
     # params (per-chip shard_map scan, GLOBAL-batch negatives) — see
     # train/step.py loss_fn
+    dp_mode: str = "auto"      # 'auto' | 'gspmd' | 'manual' — how data-parallel
+    # gradients cross the mesh. 'manual' runs the per-shard backward under
+    # shard_map with ONE explicit pmean per parameter leaf (step.py
+    # _manual_dp_grads): under GSPMD a weight used by two dots (split-CLS
+    # stream) gets its cotangents all-reduced SEPARATELY (+71% ViT-B DP
+    # gradient bytes — PERF.md round 5); manual reduces exactly param_bytes.
+    # Needs replicated params (pure DP). 'auto' = manual when eligible.
+    grad_reduce_dtype: str = ""  # 'bf16': cast gradients for the cross-chip
+    # reduce only (manual dp_mode) — halves DP gradient bandwidth; optimizer
+    # updates stay in the param dtype. Off by default (exact f32 reduction).
     zero1: bool = False        # shard optimizer state over the data axis
     fsdp: bool = False         # ZeRO-3 analogue: params (+ their moments)
     # sharded over the data axis (GSPMD weight-gathered schedule); subsumes zero1

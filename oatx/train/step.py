@@ -76,6 +76,7 @@ def loss_fn(
     batch: Dict[str, jnp.ndarray],
     fwd_chunk: Optional[int] = None,
     mesh: Optional[Any] = None,
+    gather_axes: Optional[Tuple[str, ...]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """fwd_chunk: compute the per-sample tower outputs as lax.scan'd chunk-
     sized sub-batches with a remat'd body, then the loss over the FULL batch
@@ -98,7 +99,24 @@ def loss_fn(
     global batch — pod-scale large-batch contrastive pretraining. Requires
     replicated params (pure DP: model_parallel=1, no fsdp/pipeline — the
     Trainer gates this); param cotangents are psum'd by shard_map's
-    transpose."""
+    transpose.
+
+    gather_axes (manual-DP / shard_map path — see make_train_step): this call
+    is PER-SHARD; the tower forwards see the local batch shard and every
+    cross-batch loss input (embeddings, the global_local region/tag features)
+    is all-gathered over the named mesh axes before the loss, so negatives
+    span the global batch exactly as the GSPMD path's full-batch matrix
+    (reference AllGather_multi semantics, trainer_dist.py:29-45,159-161).
+    Per-sample elementwise losses (region BCE) are pmean'd instead of
+    gathered — identical to the global mean under equal shard sizes."""
+
+    def gather(x: jnp.ndarray) -> jnp.ndarray:
+        if gather_axes is None:
+            return x
+        return jax.lax.all_gather(x, gather_axes, axis=0, tiled=True)
+
+    def scalar_mean(x: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.pmean(x, gather_axes) if gather_axes is not None else x
 
     def fwd(f, b):
         if not fwd_chunk:
@@ -124,11 +142,12 @@ def loss_fn(
 
     if cfg.variant == "baseline":
         text_e, video_e = fwd(towers.forward_baseline, batch)
+        text_e, video_e = gather(text_e), gather(video_e)
         loss = _embed_pair_loss(text_e, video_e, loss_cfg)
         metrics = {"loss": loss}
         if (loss_cfg.object_nce_weight > 0 and cfg.object_tower is not None
                 and "object" in batch):
-            obj_e = towers.compute_object(params, cfg, batch["object"])
+            obj_e = gather(towers.compute_object(params, cfg, batch["object"]))
             l_obj = (_embed_pair_loss(obj_e, video_e, loss_cfg)
                      + _embed_pair_loss(text_e, obj_e, loss_cfg))
             loss = loss + loss_cfg.object_nce_weight * l_obj
@@ -136,17 +155,25 @@ def loss_fn(
         return loss, metrics
     if cfg.variant == "global_local":
         out = fwd(towers.forward_global_local, batch)
-        l_st2sv = _pair_loss(C.sim_matrix(out["text_embeds"], out["video_embeds"]), loss_cfg)
-        l_lt2sv = _pair_loss(C.sim_matrix(out["pad_text_embeds"], out["video_embeds"]), loss_cfg)
+        l_st2sv = _pair_loss(
+            C.sim_matrix(gather(out["text_embeds"]), gather(out["video_embeds"])),
+            loss_cfg)
+        l_lt2sv = _pair_loss(
+            C.sim_matrix(gather(out["pad_text_embeds"]), gather(out["video_embeds"])),
+            loss_cfg)
         l_fine = C.fine_grained_region_tag_loss(
-            out["region_feat"], out["tags_feat"], loss_cfg.temperature)
+            gather(out["region_feat"]), gather(out["tags_feat"]),
+            loss_cfg.temperature)
         loss = l_st2sv + l_lt2sv + l_fine
         return loss, {"loss": loss, "loss_st2sv": l_st2sv, "loss_lt2sv": l_lt2sv,
                       "loss_fine": l_fine}
     if cfg.variant == "region_mem":
         out = fwd(towers.forward_region_mem, batch)
-        l_nce = _pair_loss(C.sim_matrix(out["text_embeds"], out["video_embeds"]), loss_cfg)
-        l_region = C.region_bce(out["region_sim_logits"], batch["patch_masks"])
+        l_nce = _pair_loss(
+            C.sim_matrix(gather(out["text_embeds"]), gather(out["video_embeds"])),
+            loss_cfg)
+        l_region = scalar_mean(
+            C.region_bce(out["region_sim_logits"], batch["patch_masks"]))
         loss = l_nce + loss_cfg.region_bce_weight * l_region
         return loss, {"loss": loss, "loss_nce": l_nce, "loss_region": l_region}
     raise ValueError(f"unknown variant {cfg.variant!r}")
@@ -178,6 +205,55 @@ def make_augmenter(transform_cfg=None, train: bool = True,
     return augment
 
 
+def _manual_dp_grads(params, batch, cfg, loss_cfg, fwd_chunk, mesh,
+                     axes: Tuple[str, ...], grad_reduce_dtype):
+    """Manual data-parallel value_and_grad under jax.shard_map.
+
+    Why this exists (PERF.md round 5): under GSPMD, a weight used by TWO dots
+    (the split-CLS residual stream applies every video-block weight to the
+    patch stream and the CLS stream) gets its two gradient cotangents
+    all-reduced SEPARATELY — XLA's SPMD partitioner places the all-reduce at
+    each dot's cotangent and never reassociates add(AR(a), AR(b)) → AR(a+b),
+    inflating ViT-B DP gradient traffic by +71%. Here the whole backward runs
+    per shard (duplicate cotangents are plain local adds) and the gradient
+    crosses the mesh exactly ONCE per parameter leaf via an explicit pmean —
+    traffic is exactly the ring all-reduce of param_bytes, regardless of how
+    many ops share a weight (tests/test_manual_dp.py audits the bytes).
+
+    Semantics: the body computes the per-shard forward, all-gathers the
+    embedding sets over `axes` (loss_fn gather_axes), and evaluates the SAME
+    global-negative loss the GSPMD path computes. Each shard's AD seeds its
+    own (identical) loss copy, so the per-shard cotangents sum to
+    n_shards·dL/dθ across the mesh — pmean (not psum) recovers dL/dθ; the
+    parity tests pin this against the single-device gradient.
+
+    grad_reduce_dtype (e.g. jnp.bfloat16): cast gradients to a narrower dtype
+    for the cross-chip reduction only — halves DP gradient bandwidth; the
+    optimizer still updates in the parameter dtype. Opt-in, off by default.
+
+    Requires replicated params (pure DP: no fsdp/model axis/pipeline — the
+    Trainer gates this). fwd_chunk composes: the remat'd chunk scan runs
+    per shard inside the same shard_map body."""
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P(axes)
+
+    def body(p, lb):
+        (loss, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, cfg, loss_cfg, lb, fwd_chunk, None, axes)
+        if grad_reduce_dtype is not None:
+            g = jax.tree_util.tree_map(
+                lambda x: x.astype(grad_reduce_dtype), g)
+        g = jax.lax.pmean(g, axes)
+        if grad_reduce_dtype is not None:
+            g = jax.tree_util.tree_map(
+                lambda x, pp: x.astype(pp.dtype), g, p)
+        return (loss, metrics), g
+
+    return jax.shard_map(body, mesh=mesh, in_specs=(P(), bspec),
+                         out_specs=P(), check_vma=False)(params, batch)
+
+
 def make_train_step(
     cfg: towers.TowerConfig,
     loss_cfg: LossConfig,
@@ -189,6 +265,8 @@ def make_train_step(
     skip_nonfinite: bool = False,
     fwd_chunk: Optional[int] = None,
     mesh: Optional[Any] = None,
+    manual_axes: Optional[Tuple[str, ...]] = None,
+    grad_reduce_dtype: Optional[Any] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. State is donated (params updated in place in
     HBM). Shard the batch over the mesh's data axis before calling. If `augment`
@@ -219,6 +297,9 @@ def make_train_step(
         base_rng = jax.random.PRNGKey(0)
 
     def grads_of(params, batch):
+        if manual_axes:
+            return _manual_dp_grads(params, batch, cfg, loss_cfg, fwd_chunk,
+                                    mesh, manual_axes, grad_reduce_dtype)
         return jax.value_and_grad(loss_fn, has_aux=True)(
             params, cfg, loss_cfg, batch, fwd_chunk, mesh)
 

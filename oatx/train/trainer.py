@@ -293,11 +293,42 @@ class Trainer:
         if fwd_chunk and t.accum_steps > 1:
             raise ValueError("fwd_chunk and accum_steps are mutually exclusive "
                              "(full-batch vs micro-batch negative semantics)")
+        # manual data parallelism (step.py _manual_dp_grads): per-shard
+        # backward under shard_map + ONE explicit pmean per gradient leaf.
+        # Default for eligible (replicated-param) multi-chip meshes: GSPMD
+        # all-reduces each cotangent of a multiply-used weight separately
+        # (split-CLS stream: +71% ViT-B gradient bytes — PERF.md round 5).
+        dp_mode = getattr(t, "dp_mode", "auto") or "auto"
+        if dp_mode not in ("auto", "gspmd", "manual"):
+            raise ValueError(f"unknown trainer.dp_mode {dp_mode!r}")
+        pure_dp = (meshlib.batch_shards(self.mesh) > 1 and t.model_parallel <= 1
+                   and not t.fsdp and not t.pipeline)
+        if dp_mode == "manual" and not pure_dp:
+            raise ValueError(
+                "trainer.dp_mode='manual' needs a >1-shard batch axis and "
+                "replicated params (model_parallel=1, no fsdp/pipeline)")
+        manual_axes = meshlib.batch_axes(self.mesh) \
+            if dp_mode != "gspmd" and pure_dp else None
+        grd = getattr(t, "grad_reduce_dtype", "") or ""
+        if grd and not manual_axes:
+            self.logger.warning(
+                "trainer.grad_reduce_dtype=%r ignored: needs the manual "
+                "dp_mode path (got dp_mode=%s, pure_dp=%s)", grd, dp_mode,
+                pure_dp)
+            grd = ""
+        if manual_axes:
+            self.logger.info("data-parallel gradients: manual pmean over %s%s",
+                             manual_axes,
+                             f" in {grd}" if grd else "")
         self.train_step = steplib.make_train_step(
             self.tower_cfg, self.loss_cfg, self.optimizer,
             augment=self.augment, base_rng=jax.random.PRNGKey(t.seed + 1),
             accum_steps=t.accum_steps, skip_nonfinite=t.skip_nonfinite,
-            fwd_chunk=fwd_chunk, mesh=step_mesh)
+            fwd_chunk=fwd_chunk,
+            mesh=self.mesh if manual_axes else step_mesh,
+            manual_axes=manual_axes,
+            grad_reduce_dtype={"": None, "bf16": jnp.bfloat16,
+                               "f32": jnp.float32}[grd])
         eval_cfg = self.tower_cfg
         if t.pipeline and self.tower_cfg.video.pipeline_stages > 1:
             # eval batches are padded to the data axis, not to microbatch
@@ -324,6 +355,7 @@ class Trainer:
         # preemption safety (beyond the reference — SURVEY.md §5 lists no elastic
         # recovery there): SIGTERM/SIGUSR1 requests a checkpoint at the next step
         self._preempted = False
+        self._preempt_saved = False  # a snapshot was written for this signal
         self._install_preemption_handler()
         from oatx.utils.watchdog import StepWatchdog
 
@@ -363,10 +395,33 @@ class Trainer:
             self.logger.info("init_val: %s", {k: round(v, 4) for k, v in val_log.items()
                                               if isinstance(v, float)})
         for epoch in range(self.start_epoch, t.epochs + 1):
+            if self._preempted:
+                # the signal landed OUTSIDE the step loop (validation, epoch
+                # summary, loader restart) — snapshot here instead of paying a
+                # whole epoch's loader spin-up first. Caught by the round-5
+                # soak drill: a SIGTERM during validation previously raced the
+                # next epoch's first-batch wait and could die snapshot-less.
+                if self.save_dir:
+                    ckptlib.save_checkpoint(
+                        self.save_dir, f"preempt-epoch{epoch - 1}", self.state,
+                        epoch - 1, self.monitor_best,
+                        extra_meta={"cycles_done": self.cycles_per_epoch})
+                    self._preempt_saved = True
+                self.logger.warning(
+                    "preemption signal between epochs: checkpoint saved, exiting")
+                break
             log = {"epoch": epoch}
             start_cycle = getattr(self, "_resume_cycle", 0) if epoch == self.start_epoch else 0
             log.update(self._train_epoch(epoch, start_cycle=start_cycle))
             if self._preempted:
+                if not self._preempt_saved and self.save_dir:
+                    # flag raced the end of the epoch (set after the last
+                    # in-loop check) — the epoch is complete, snapshot as such
+                    ckptlib.save_checkpoint(
+                        self.save_dir, f"preempt-epoch{epoch}", self.state,
+                        epoch, self.monitor_best,
+                        extra_meta={"cycles_done": self.cycles_per_epoch})
+                    self._preempt_saved = True
                 self.logger.warning("stopping after preemption checkpoint (epoch %d)", epoch)
                 break
             val_period = max(int(getattr(t, "val_period", 1)), 1)
@@ -436,6 +491,20 @@ class Trainer:
         data_wait = 0.0
         wall_start = time.perf_counter()  # monotonic, like the wait accumulator
         while True:
+            if self._preempted and last_metrics is not None:
+                # signal landed between steps (e.g. during the log fetch) —
+                # don't wait for another batch before snapshotting
+                _ = float(last_metrics["loss"])
+                if self.save_dir:
+                    ckptlib.save_checkpoint(
+                        self.save_dir, f"preempt-epoch{epoch}", self.state,
+                        epoch, self.monitor_best,
+                        extra_meta={"cycles_done": cycles_done})
+                    self._preempt_saved = True
+                    self.logger.warning(
+                        "preemption signal: checkpoint saved at cycle %d, exiting epoch",
+                        cycles_done)
+                break
             w0 = time.perf_counter()
             try:
                 loader_idx, batch = next(prefetch_iter)
@@ -459,6 +528,7 @@ class Trainer:
                     ckptlib.save_checkpoint(
                         self.save_dir, f"preempt-epoch{epoch}", self.state, epoch,
                         self.monitor_best, extra_meta={"cycles_done": cycles_done})
+                    self._preempt_saved = True
                     self.logger.warning(
                         "preemption signal: checkpoint saved at cycle %d, exiting epoch",
                         cycles_done)

@@ -1,0 +1,295 @@
+"""Manual data-parallel train step (trainer.dp_mode, step._manual_dp_grads).
+
+Why it exists (PERF.md round 5, comm_audit finding): under GSPMD a weight
+used by TWO dots — the split-CLS residual stream applies every video-block
+weight to the patch stream AND the CLS stream — gets its two gradient
+cotangents all-reduced SEPARATELY (the SPMD partitioner never reassociates
+add(AR(a), AR(b)) → AR(a+b)), inflating ViT-B DP gradient traffic +71%.
+The manual path runs the whole backward per shard under jax.shard_map
+(duplicate cotangents are plain local adds) and crosses the mesh exactly once
+per parameter leaf via an explicit pmean.
+
+These tests pin:
+  * gradient parity vs the single-device global-batch gradient (all variants),
+  * one-step update parity manual vs GSPMD,
+  * the byte claim itself — with split_cls_stream=True the manual lane's
+    data-axis all-reduce traffic equals the ring cost of param_bytes exactly,
+    while GSPMD's is strictly larger,
+  * the bf16 gradient-reduction option,
+  * Trainer-level wiring (dp_mode validation + auto eligibility).
+
+Reference anchor: the semantics being preserved are the reference's
+cross-replica AllGather_multi loss (trainer_dist.py:29-45,159-161) + DDP
+gradient allreduce (base_trainer.py:23) — one reduction per parameter.
+"""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oatx.models import distilbert as dbert, towers, vit_spacetime as vst
+from oatx.parallel import mesh as meshlib, sharding
+from oatx.train import optim, step as steplib
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=2, num_heads=2, num_frames=2),
+        text=dbert.DistilBertConfig(vocab_size=64, max_position_embeddings=16,
+                                    dim=32, hidden_dim=64, n_layers=1,
+                                    n_heads=2),
+        projection_dim=8)
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "video": np.asarray(rng.standard_normal((8, 2, 32, 32, 3)), np.float32),
+        "input_ids": np.asarray(rng.integers(0, 64, (8, 8))),
+        "attention_mask": np.ones((8, 8), np.int32),
+    }
+    return cfg, params, batch
+
+
+def _fresh(params):
+    return jax.tree_util.tree_map(np.asarray, params)
+
+
+def _grad_allclose(g_ref, g_got, atol_base=5e-6, rtol_of_max=1e-4):
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_leaves(g_got)):
+        a, b = np.asarray(a), np.asarray(b)
+        # absolute floor: zero-init time-attention grads are ~1e-6 with
+        # cancellation noise of the same order — scale-relative tolerance
+        tol = atol_base + rtol_of_max * np.abs(a).max()
+        np.testing.assert_allclose(
+            a, b, atol=tol, rtol=0,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def _manual_grads(cfg, params, batch, mesh, lc=None, fwd_chunk=None,
+                  grad_dtype=None):
+    lc = lc or steplib.LossConfig()
+    sp = jax.device_put(_fresh(params), meshlib.replicated(mesh))
+    sb = meshlib.shard_batch(mesh, batch)
+    fn = jax.jit(lambda p, b: steplib._manual_dp_grads(
+        p, b, cfg, lc, fwd_chunk, mesh, meshlib.batch_axes(mesh), grad_dtype))
+    return fn(sp, sb)
+
+
+def test_manual_grads_match_single_device(tiny):
+    """pmean of the per-shard shard_map gradients == the single-device
+    gradient of the global-batch loss (the pmean-not-psum normalization)."""
+    cfg, params, batch = tiny
+    lc = steplib.LossConfig()
+    (l_ref, _), g_ref = jax.value_and_grad(steplib.loss_fn, has_aux=True)(
+        _fresh(params), cfg, lc, {k: jnp.asarray(v) for k, v in batch.items()})
+    mesh = meshlib.make_mesh(8)
+    (l_man, m_man), g_man = _manual_grads(cfg, params, batch, mesh)
+    assert float(l_man) == pytest.approx(float(l_ref), rel=1e-5)
+    assert float(m_man["loss"]) == pytest.approx(float(l_ref), rel=1e-5)
+    _grad_allclose(g_ref, g_man)
+
+
+def test_manual_step_matches_gspmd_step(tiny):
+    """One optimizer step through make_train_step: manual_axes vs GSPMD —
+    same loss, same updated params. SGD, not Adam: Adam's first-step update is
+    ±lr·sign(g), and on the zero-init time attention g is ~1e-6 cancellation
+    noise — the sign (and so the whole update) is noise-decided under ANY fp
+    reordering. SGD updates are ∝ the gradient, so parity here means what it
+    says; raw-grad parity is pinned by test_manual_grads_match_single_device."""
+    cfg, params, batch = tiny
+    opt = optim.make_optimizer(lr=1e-3, kind="sgd")
+    mesh = meshlib.make_mesh(8)
+    batch_s = meshlib.shard_batch(mesh, batch)
+
+    def run(manual):
+        p = sharding.shard_params(mesh, _fresh(params))
+        state = steplib.init_state(jax.random.PRNGKey(1), cfg, opt, params=p)
+        step = steplib.make_train_step(
+            cfg, steplib.LossConfig(), opt, donate=False,
+            mesh=mesh if manual else None,
+            manual_axes=meshlib.batch_axes(mesh) if manual else None)
+        return step(state, batch_s)
+
+    s_g, m_g = run(manual=False)
+    s_m, m_m = run(manual=True)
+    assert float(m_m["loss"]) == pytest.approx(float(m_g["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_g.params),
+                    jax.tree_util.tree_leaves(s_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
+
+
+def test_manual_grads_dcn_mesh(tiny):
+    """Multi-slice ('dcn','data') batch axes: gather/pmean over BOTH axes."""
+    cfg, params, batch = tiny
+    lc = steplib.LossConfig()
+    (_, _), g_ref = jax.value_and_grad(steplib.loss_fn, has_aux=True)(
+        _fresh(params), cfg, lc, {k: jnp.asarray(v) for k, v in batch.items()})
+    mesh = meshlib.make_mesh(8, dcn_slices=2)
+    assert meshlib.batch_axes(mesh) == ("dcn", "data")
+    (_, _), g_man = _manual_grads(cfg, params, batch, mesh)
+    _grad_allclose(g_ref, g_man)
+
+
+def test_manual_grads_fwd_chunk(tiny):
+    """fwd_chunk composes: per-shard remat-scan inside the shard_map body,
+    global-batch negatives still exact."""
+    cfg, params, batch = tiny
+    lc = steplib.LossConfig()
+    (l_ref, _), g_ref = jax.value_and_grad(steplib.loss_fn, has_aux=True)(
+        _fresh(params), cfg, lc, {k: jnp.asarray(v) for k, v in batch.items()})
+    mesh = meshlib.make_mesh(4)  # local bs=2, chunk=1 → 2 scan steps per shard
+    (l_man, _), g_man = _manual_grads(cfg, params, batch, mesh, fwd_chunk=1)
+    assert float(l_man) == pytest.approx(float(l_ref), rel=1e-5)
+    _grad_allclose(g_ref, g_man)
+
+
+def test_manual_grads_bf16_reduce(tiny):
+    """grad_reduce_dtype=bf16: same gradient up to bf16 rounding of the
+    per-shard contributions; dtype restored to f32 after the reduce."""
+    cfg, params, batch = tiny
+    lc = steplib.LossConfig()
+    (_, _), g_ref = jax.value_and_grad(steplib.loss_fn, has_aux=True)(
+        _fresh(params), cfg, lc, {k: jnp.asarray(v) for k, v in batch.items()})
+    mesh = meshlib.make_mesh(8)
+    (_, _), g_man = _manual_grads(cfg, params, batch, mesh,
+                                  grad_dtype=jnp.bfloat16)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_man)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert b.dtype == a.dtype  # restored to the param grad dtype
+        # bf16 has ~3 decimal digits: tolerance relative to the leaf scale
+        tol = 1e-5 + 1.6e-2 * np.abs(a).max()
+        np.testing.assert_allclose(a, b, atol=tol, rtol=0)
+
+
+def test_manual_grads_global_local_variant():
+    """global_local: gathered region/tag features keep the fine-grained NCE
+    over the GLOBAL batch (trainer_global_local.py:187-211 semantics)."""
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=2, num_heads=2, num_frames=2,
+                                     pooling="cls_mean_half"),
+        text=dbert.DistilBertConfig(vocab_size=64, max_position_embeddings=16,
+                                    dim=32, hidden_dim=64, n_layers=1,
+                                    n_heads=2),
+        projection_dim=8, variant="global_local")
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    n = cfg.video.patches_per_frame
+    batch = {
+        "video": np.asarray(rng.standard_normal((8, 2, 32, 32, 3)), np.float32),
+        "object_frame": np.asarray(rng.standard_normal((8, 1, 32, 32, 3)),
+                                   np.float32),
+        "input_ids": np.asarray(rng.integers(0, 64, (8, 8))),
+        "attention_mask": np.ones((8, 8), np.int32),
+        "pad_input_ids": np.asarray(rng.integers(0, 64, (8, 12))),
+        "pad_attention_mask": np.ones((8, 12), np.int32),
+        "patch_masks": np.asarray(rng.integers(0, 2, (8, 2, n)), np.float32),
+        "object_token_masks": np.tile(np.asarray([10, 12]), (8, 1)),
+    }
+    lc = steplib.LossConfig()
+    (l_ref, m_ref), g_ref = jax.value_and_grad(steplib.loss_fn, has_aux=True)(
+        _fresh(params), cfg, lc, {k: jnp.asarray(v) for k, v in batch.items()})
+    mesh = meshlib.make_mesh(8)
+    (l_man, m_man), g_man = _manual_grads(cfg, params, batch, mesh, lc=lc)
+    assert float(l_man) == pytest.approx(float(l_ref), rel=1e-5)
+    for k in ("loss_st2sv", "loss_lt2sv", "loss_fine"):
+        assert float(m_man[k]) == pytest.approx(float(m_ref[k]), rel=1e-5)
+    _grad_allclose(g_ref, g_man)
+
+
+def test_manual_grads_region_mem_variant():
+    """region_mem: NCE over gathered embeds + pmean'd per-shard BCE == the
+    global mean BCE (equal shard sizes)."""
+    cfg = towers.TowerConfig(
+        video=vst.SpaceTimeViTConfig(img_size=32, patch_size=16, embed_dim=32,
+                                     depth=2, num_heads=2, num_frames=2,
+                                     region_tap_layer=1),
+        text=dbert.DistilBertConfig(vocab_size=64, max_position_embeddings=16,
+                                    dim=32, hidden_dim=64, n_layers=1,
+                                    n_heads=2),
+        projection_dim=8, variant="region_mem")
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    n = cfg.video.patches_per_frame
+    batch = {
+        "video": np.asarray(rng.standard_normal((8, 2, 32, 32, 3)), np.float32),
+        "object_frame": np.asarray(rng.standard_normal((8, 1, 32, 32, 3)),
+                                   np.float32),
+        "input_ids": np.asarray(rng.integers(0, 64, (8, 8))),
+        "attention_mask": np.ones((8, 8), np.int32),
+        "patch_masks": np.asarray(rng.integers(0, 2, (8, 2, n)), np.float32),
+        "text_region_embedding": np.asarray(rng.standard_normal((8, 2, 512)),
+                                            np.float32),
+    }
+    lc = steplib.LossConfig()
+    (l_ref, m_ref), g_ref = jax.value_and_grad(steplib.loss_fn, has_aux=True)(
+        _fresh(params), cfg, lc, {k: jnp.asarray(v) for k, v in batch.items()})
+    mesh = meshlib.make_mesh(8)
+    (l_man, m_man), g_man = _manual_grads(cfg, params, batch, mesh, lc=lc)
+    assert float(l_man) == pytest.approx(float(l_ref), rel=1e-5)
+    assert float(m_man["loss_region"]) == pytest.approx(
+        float(m_ref["loss_region"]), rel=1e-5)
+    _grad_allclose(g_ref, g_man)
+
+
+def _param_bytes(params):
+    return sum(np.asarray(p).nbytes for p in jax.tree_util.tree_leaves(params))
+
+
+def test_manual_dp_reduces_exactly_param_bytes_with_split_stream(tiny):
+    """THE byte claim: with split_cls_stream=True, the manual lane's data-axis
+    all-reduce traffic == ring cost of one gradient (2·(g-1)/g · param_bytes),
+    while the GSPMD lane's is strictly larger (duplicated video cotangents)."""
+    import re
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from comm_audit import audit_hlo
+
+    cfg0, params0, batch = tiny
+    cfg = dc.replace(cfg0, video=dc.replace(cfg0.video, split_cls_stream=True))
+    params = towers.init(jax.random.PRNGKey(0), cfg)
+    mesh = meshlib.make_mesh(8)
+    opt = optim.make_optimizer(lr=1e-3)
+    batch_s = meshlib.shard_batch(mesh, batch)
+
+    def lane_bytes(manual):
+        p = sharding.shard_params(mesh, _fresh(params))
+        state = steplib.init_state(jax.random.PRNGKey(1), cfg, opt, params=p)
+        step = steplib.make_train_step(
+            cfg, steplib.LossConfig(), opt, donate=False,
+            mesh=mesh if manual else None,
+            manual_axes=meshlib.batch_axes(mesh) if manual else None)
+        hlo = jax.jit(step).lower(state, batch_s).compile().as_text()
+        colls = audit_hlo(hlo, mesh, global_batch=8)
+        return sum(c.per_chip_bytes for c in colls if c.op == "all-reduce")
+
+    pb = _param_bytes(params)
+    ring = 2.0 * 7 / 8  # ring all-reduce cost factor at g=8
+    got_manual = lane_bytes(manual=True)
+    got_gspmd = lane_bytes(manual=False)
+    # manual: exactly one reduction of the full gradient (+ a few scalar
+    # metrics: loss/grad_norm — allow 1 KB of slack)
+    assert got_manual <= ring * pb + 1024, (got_manual, ring * pb)
+    assert got_manual >= ring * pb * 0.99
+    # GSPMD duplicates the split-stream video cotangents: strictly more
+    assert got_gspmd > got_manual * 1.1, (got_gspmd, got_manual)
+
+
+def test_trainer_dp_mode_validation():
+    """Trainer rejects dp_mode='manual' with sharded params and unknown modes."""
+    from oatx.config.schema import TrainerCfg
+
+    t = TrainerCfg.from_dict({"epochs": 1, "save_dir": "/tmp",
+                              "dp_mode": "manual", "fsdp": True})
+    assert t.dp_mode == "manual" and t.fsdp
+    t2 = TrainerCfg.from_dict({"epochs": 1, "save_dir": "/tmp"})
+    assert t2.dp_mode == "auto" and t2.grad_reduce_dtype == ""

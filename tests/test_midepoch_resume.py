@@ -93,6 +93,42 @@ def test_end_of_epoch_preempt_meta_starts_next_epoch(tmp_path):
     assert tr2.start_epoch == 2 and tr2._resume_cycle == 0
 
 
+def test_preempt_outside_step_loop_still_snapshots(tmp_path):
+    """Round-5 soak-drill regression: a SIGTERM that lands OUTSIDE the step
+    loop (during validation / the epoch summary) must still produce a
+    preemption snapshot — previously the epoch loop only warned and exited,
+    and the process could die snapshot-less while waiting for the next
+    epoch's first batch."""
+    import os
+
+    tok = WordPieceTokenizer.build_from_corpus(
+        [f"scene {i} dog" for i in range(40)], vocab_size=256)
+    exp = _exp(tmp_path, epochs=3)
+    tr = Trainer(exp, build_loaders(exp, tok), [],
+                 save_dir=str(tmp_path / "ck_sig"), log_dir=None)
+
+    # simulate the signal landing between _train_epoch and the next epoch:
+    # flag raised from the epoch-summary path (after epoch 1 completes)
+    real_epoch = tr._train_epoch
+
+    def epoch_then_signal(epoch, start_cycle=0):
+        out = real_epoch(epoch, start_cycle=start_cycle)
+        tr._preempted = True  # as the SIGTERM handler would
+        return out
+
+    tr._train_epoch = epoch_then_signal
+    tr.train()
+    snaps = [d for d in os.listdir(tmp_path / "ck_sig")
+             if d.startswith("preempt-epoch")
+             and os.path.isdir(tmp_path / "ck_sig" / d)]  # not the .meta.json
+    assert snaps, "no preemption snapshot written for an out-of-loop signal"
+    # the snapshot marks epoch 1 complete → resume starts at epoch 2, cycle 0
+    tr2 = Trainer(exp, build_loaders(exp, tok), [], save_dir=None,
+                  log_dir=None,
+                  resume=str(tmp_path / "ck_sig" / sorted(snaps)[-1]))
+    assert tr2.start_epoch == 2 and tr2._resume_cycle == 0
+
+
 def test_resume_fastforward_does_no_decode_work(tmp_path):
     """MultiLoader.iter_from(k) must never fetch a skipped sample — resume of
     cycle K does zero decode work for cycles < K (index arithmetic only)."""

@@ -237,7 +237,8 @@ def _tower_cfg(geometry: str, variant: str = "baseline", depth: int = 0,
     return cfg
 
 
-LANES = ("dp", "fsdp", "tp2", "sp", "pp2", "dcn2+fsdp")
+LANES = ("dp", "dp_manual", "dp_manual_bf16", "fsdp", "tp2", "sp", "pp2",
+         "dcn2+fsdp", "dcn2_manual")
 
 
 def build_lane(label: str, n_devices: int, geometry: str, depth: int = 0,
@@ -254,6 +255,15 @@ def build_lane(label: str, n_devices: int, geometry: str, depth: int = 0,
 
     model_parallel = 2 if label in ("tp2", "sp", "pp2") else 1
     dcn = 2 if label.startswith("dcn2") else 1
+    manual = "_manual" in label  # trainer.dp_mode='manual' equivalent:
+    # per-shard backward under shard_map + ONE explicit pmean per grad leaf
+    # (step._manual_dp_grads) — the default for eligible pure-DP meshes
+    grad_dtype = None
+    if label.endswith("_bf16"):  # trainer.grad_reduce_dtype='bf16': cast the
+        # gradient for the cross-chip reduce only (halves DP grad bandwidth)
+        import jax.numpy as _jnp
+
+        grad_dtype = _jnp.bfloat16
     over = {}
     if label == "sp":
         over = {"sequence_parallel": True}
@@ -274,8 +284,11 @@ def build_lane(label: str, n_devices: int, geometry: str, depth: int = 0,
         params = sharding.shard_params(mesh, init_params)
     state = steplib.init_state(jax.random.PRNGKey(1), cfg, optimizer,
                                params=params)
-    train_step = steplib.make_train_step(cfg, steplib.LossConfig(), optimizer,
-                                         donate=False)
+    train_step = steplib.make_train_step(
+        cfg, steplib.LossConfig(), optimizer, donate=False,
+        mesh=mesh if manual else None,
+        manual_axes=meshlib.batch_axes(mesh) if manual else None,
+        grad_reduce_dtype=grad_dtype)
     rng = np.random.default_rng(0)
     img, f = (224, 4) if geometry == "vitb" else (32, 2)
     vocab = 30522 if geometry == "vitb" else 128

@@ -137,17 +137,69 @@ def percentiles(xs, ps=(50, 99)):
         if xs else {}
 
 
+def probe_relay(timeout_s: float = 60.0) -> bool:
+    """CLAUDE.md discipline: the relay can stall for hours — a 60s-timeout
+    scalar fetch in a THROWAWAY subprocess (so a stall doesn't wedge us)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))"],
+            timeout=timeout_s, capture_output=True, cwd="/root/repo")
+        return r.returncode == 0 and b"64.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_first_step(log_path: str, proc: subprocess.Popen,
+                    timeout_s: float) -> bool:
+    """Block until the trainer emits its first step log line (fixture gen +
+    first relay compile can take many minutes on a contended host — the
+    preemption drill must not fire before training exists to preempt)."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if proc.poll() is not None:
+            return False
+        try:
+            with open(log_path) as f:
+                if LOG_LINE.search(f.read()):
+                    return True
+        except OSError:
+            pass
+        time.sleep(5)
+    return False
+
+
+def terminate(proc: subprocess.Popen, grace_s: float = 300.0) -> int:
+    """SIGTERM → wait → SIGKILL escalation (a relay-stalled step blocks the
+    main thread in a device fetch, so SIGTERM may never be serviced)."""
+    proc.send_signal(signal.SIGTERM)
+    try:
+        return proc.wait(timeout=grace_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait(timeout=60)
+        return -9
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--minutes", type=float, default=30.0)
+    p.add_argument("--minutes", type=float, default=30.0,
+                   help="training-time budget, counted from the FIRST step")
     p.add_argument("--kill-after", type=float, default=12.0,
-                   help="minutes until SIGTERM (preemption drill)")
+                   help="minutes of TRAINING until SIGTERM (preemption drill)")
+    p.add_argument("--startup-timeout", type=float, default=20.0,
+                   help="minutes to wait for the first step line before "
+                        "declaring a relay stall")
     p.add_argument("--clips", type=int, default=128)
     p.add_argument("--len-epoch", type=int, default=100)
     p.add_argument("--out", default="/tmp/oatx_soak.json")
     p.add_argument("--resume", default=None,
                    help="resume a previous soak from this snapshot dir")
     args = p.parse_args(argv)
+
+    if not probe_relay():
+        print("relay probe FAILED (60s scalar fetch) — not starting; retry later")
+        return 3
 
     root = tempfile.mkdtemp(prefix="oatx_soak_")
     cfg = soak_config(root, args.clips, args.len_epoch)
@@ -172,10 +224,23 @@ def main(argv=None) -> int:
     holder = [None]
     threading.Thread(target=sample_rss, args=(holder,), daemon=True).start()
 
-    # phase 1: train until the kill point
+    # phase 1: train until the kill point (timed from the FIRST step — fixture
+    # generation and the first relay compile are startup, not training)
     proc = launch(cfg_path, args.resume, log_path)
     holder[0] = proc
-    deadline_kill = t_start + args.kill_after * 60
+    if not wait_first_step(log_path, proc, args.startup_timeout * 60):
+        stop_rss.set()
+        if proc.poll() is None:
+            terminate(proc, grace_s=30)
+            print("NO first step within startup-timeout — relay stall? "
+                  "soak aborted (safe to re-run)")
+        else:
+            print("train process exited during startup rc=", proc.returncode)
+        return 1
+    t_train0 = time.time()
+    print(json.dumps({"event": "first_step",
+                      "startup_s": round(t_train0 - t_start, 1)}), flush=True)
+    deadline_kill = t_train0 + args.kill_after * 60
     while time.time() < deadline_kill:
         if proc.poll() is not None:
             print("train process exited early rc=", proc.returncode)
@@ -184,11 +249,13 @@ def main(argv=None) -> int:
         time.sleep(5)
     print(json.dumps({"event": "SIGTERM", "t_min": round((time.time() - t_start) / 60, 1)}),
           flush=True)
-    proc.send_signal(signal.SIGTERM)
-    rc = proc.wait(timeout=600)
+    rc = terminate(proc)
     save_dir = _os.path.join(root, "exps", "models", "soak")
-    preempts = sorted(d for d in _os.listdir(save_dir)
-                      if d.startswith("preempt-")) if _os.path.isdir(save_dir) else []
+    preempts = sorted(
+        d for d in _os.listdir(save_dir)
+        if d.startswith("preempt-")
+        and _os.path.isdir(_os.path.join(save_dir, d))  # skip .meta.json sidecars
+    ) if _os.path.isdir(save_dir) else []
     print(json.dumps({"event": "preempt_exit", "rc": rc,
                       "snapshots": preempts}), flush=True)
     if not preempts:
@@ -200,15 +267,14 @@ def main(argv=None) -> int:
     resume_dir = _os.path.join(save_dir, preempts[-1])
     proc = launch(cfg_path, resume_dir, log_path)
     holder[0] = proc
-    deadline = t_start + args.minutes * 60
+    deadline = t_train0 + args.minutes * 60
     while time.time() < deadline:
         if proc.poll() is not None:
             print("resumed process exited rc=", proc.returncode)
             break
         time.sleep(5)
     if proc.poll() is None:
-        proc.send_signal(signal.SIGTERM)
-        proc.wait(timeout=600)
+        terminate(proc)
     stop_rss.set()
 
     with open(log_path) as f:
