@@ -305,8 +305,10 @@ class TrainerCfg:
     # gradient bytes — PERF.md round 5); manual reduces exactly param_bytes.
     # Needs replicated params (pure DP). 'auto' = manual when eligible.
     grad_reduce_dtype: str = ""  # 'bf16': cast gradients for the cross-chip
-    # reduce only (manual dp_mode) — halves DP gradient bandwidth; optimizer
-    # updates stay in the param dtype. Off by default (exact f32 reduction).
+    # reduce only (manual dp_mode) — halves DP gradient bandwidth on TPU
+    # (XLA:CPU legalizes bf16 collectives back to f32 — step.py
+    # _manual_dp_grads); optimizer updates stay in the param dtype. Off by
+    # default (exact f32 reduction).
     zero1: bool = False        # shard optimizer state over the data axis
     fsdp: bool = False         # ZeRO-3 analogue: params (+ their moments)
     # sharded over the data axis (GSPMD weight-gathered schedule); subsumes zero1

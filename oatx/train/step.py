@@ -230,6 +230,13 @@ def _manual_dp_grads(params, batch, cfg, loss_cfg, fwd_chunk, mesh,
     grad_reduce_dtype (e.g. jnp.bfloat16): cast gradients to a narrower dtype
     for the cross-chip reduction only — halves DP gradient bandwidth; the
     optimizer still updates in the parameter dtype. Opt-in, off by default.
+    The casts are pinned with optimization_barrier so the lowered module
+    carries a genuine bf16 all-reduce (tests/test_manual_dp.py asserts the
+    StableHLO dtype). Backend note, measured: XLA:TPU executes bf16
+    collectives natively; XLA:CPU legalizes them back to f32 converts at
+    compile time ('convert_convert_fusion' feeding an f32 all-reduce), so the
+    per-shard bf16 ROUNDING still happens on CPU but the bandwidth saving is
+    TPU-only — the CPU-mesh byte audit cannot show it.
 
     Requires replicated params (pure DP: no fsdp/model axis/pipeline — the
     Trainer gates this). fwd_chunk composes: the remat'd chunk scan runs
@@ -242,12 +249,18 @@ def _manual_dp_grads(params, batch, cfg, loss_cfg, fwd_chunk, mesh,
         (loss, metrics), g = jax.value_and_grad(loss_fn, has_aux=True)(
             p, cfg, loss_cfg, lb, fwd_chunk, None, axes)
         if grad_reduce_dtype is not None:
-            g = jax.tree_util.tree_map(
-                lambda x: x.astype(grad_reduce_dtype), g)
+            # optimization_barrier on BOTH sides of the reduce: XLA's
+            # excess-precision simplifier otherwise cancels the
+            # f32→bf16→all-reduce→f32 convert pair and silently promotes the
+            # reduce back to f32 — verified in compiled HLO; the barriers pin
+            # the narrow dtype on the wire (they compile to nothing else)
+            g = jax.lax.optimization_barrier(jax.tree_util.tree_map(
+                lambda x: x.astype(grad_reduce_dtype), g))
         g = jax.lax.pmean(g, axes)
         if grad_reduce_dtype is not None:
             g = jax.tree_util.tree_map(
-                lambda x, pp: x.astype(pp.dtype), g, p)
+                lambda x, pp: x.astype(pp.dtype),
+                jax.lax.optimization_barrier(g), p)
         return (loss, metrics), g
 
     return jax.shard_map(body, mesh=mesh, in_specs=(P(), bspec),

@@ -151,6 +151,33 @@ def test_manual_grads_fwd_chunk(tiny):
     _grad_allclose(g_ref, g_man)
 
 
+def test_manual_bf16_reduce_is_bf16_on_the_wire(tiny):
+    """The LOWERED module must carry a genuine bf16 all-reduce — XLA's
+    excess-precision simplifier would otherwise cancel the f32→bf16→f32
+    convert pair (it did, before the optimization_barrier fix), silently
+    reverting the bandwidth saving. StableHLO-level check because it is
+    backend-independent: XLA:CPU then legalizes bf16 collectives back to f32
+    at compile (CPU collectives are f32-only) while XLA:TPU executes them
+    natively, so the compiled-HLO dtype can only be asserted on real TPU."""
+    import re
+
+    cfg, params, batch = tiny
+    mesh = meshlib.make_mesh(8)
+    opt = optim.make_optimizer(lr=1e-3)
+    p = sharding.shard_params(mesh, _fresh(params))
+    state = steplib.init_state(jax.random.PRNGKey(1), cfg, opt, params=p)
+    step = steplib.make_train_step(
+        cfg, steplib.LossConfig(), opt, donate=False, mesh=mesh,
+        manual_axes=meshlib.batch_axes(mesh), grad_reduce_dtype=jnp.bfloat16)
+    txt = jax.jit(step).lower(state, meshlib.shard_batch(mesh, batch)).as_text()
+    # stablehlo.all_reduce is a region op: the type signature sits on the
+    # closing line `}) : (tensor<...>, ...) -> ...`
+    sigs = re.findall(r"all_reduce[\s\S]*?\}\) : \(([^)]*)\)", txt)
+    assert sigs, "no all_reduce in lowered module"
+    grad_sigs = [s for s in sigs if "bf16" in s]
+    assert grad_sigs, f"no bf16 all_reduce on the wire; got {sigs[:2]}"
+
+
 def test_manual_grads_bf16_reduce(tiny):
     """grad_reduce_dtype=bf16: same gradient up to bf16 rounding of the
     per-shard contributions; dtype restored to f32 after the reduce."""
@@ -282,6 +309,34 @@ def test_manual_dp_reduces_exactly_param_bytes_with_split_stream(tiny):
     assert got_manual >= ring * pb * 0.99
     # GSPMD duplicates the split-stream video cotangents: strictly more
     assert got_gspmd > got_manual * 1.1, (got_gspmd, got_manual)
+
+
+def test_manual_grads_compose_with_accum(tiny):
+    """accum_steps × manual: the shard_map backward runs per micro-batch
+    inside the accumulation scan; negatives span the global MICRO-batch (same
+    semantics as the GSPMD accum path). Pin manual-vs-GSPMD step parity with
+    accum_steps=2 — SGD for the same reason as test_manual_step_matches_gspmd_step."""
+    cfg, params, batch = tiny
+    opt = optim.make_optimizer(lr=1e-3, kind="sgd")
+    mesh = meshlib.make_mesh(4)  # 8/accum2 = micro-batch 4 → 1 sample/shard
+    batch_s = meshlib.shard_batch(mesh, batch)
+
+    def run(manual):
+        p = sharding.shard_params(mesh, _fresh(params))
+        state = steplib.init_state(jax.random.PRNGKey(1), cfg, opt, params=p)
+        step = steplib.make_train_step(
+            cfg, steplib.LossConfig(), opt, donate=False, accum_steps=2,
+            mesh=mesh if manual else None,
+            manual_axes=meshlib.batch_axes(mesh) if manual else None)
+        return step(state, batch_s)
+
+    s_g, m_g = run(manual=False)
+    s_m, m_m = run(manual=True)
+    assert float(m_m["loss"]) == pytest.approx(float(m_g["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_g.params),
+                    jax.tree_util.tree_leaves(s_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)
 
 
 def test_trainer_dp_mode_validation():

@@ -137,9 +137,12 @@ def percentiles(xs, ps=(50, 99)):
         if xs else {}
 
 
-def probe_relay(timeout_s: float = 60.0) -> bool:
-    """CLAUDE.md discipline: the relay can stall for hours — a 60s-timeout
-    scalar fetch in a THROWAWAY subprocess (so a stall doesn't wedge us)."""
+def probe_relay(timeout_s: float = 300.0) -> bool:
+    """CLAUDE.md discipline: the relay can stall for hours — a bounded
+    scalar fetch in a THROWAWAY subprocess (so a stall doesn't wedge us).
+    300 s: jax import is ~10 s and a healthy first fetch 30-150 s depending
+    on relay weather (measured both ends of that range minutes apart); a
+    true stall hangs for hours, so five minutes separates them."""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -198,7 +201,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if not probe_relay():
-        print("relay probe FAILED (60s scalar fetch) — not starting; retry later")
+        print("relay probe FAILED (bounded scalar fetch) — not starting; retry later")
         return 3
 
     root = tempfile.mkdtemp(prefix="oatx_soak_")
