@@ -94,11 +94,16 @@ def main() -> int:
     kept = {k: smoke["trainer"].get(k) for k in
             ("model_parallel", "fsdp", "precision", "async_checkpoint",
              "skip_nonfinite", "accum_steps")}
-    kept["sequence_parallel"] = smoke["arch"]["args"]["video_params"]["sequence_parallel"]
-    kept["remat"] = smoke["arch"]["args"]["video_params"]["remat"]
-    kept["remat_policy"] = smoke["arch"]["args"]["video_params"].get("remat_policy", "full")
+    vp = smoke["arch"]["args"]["video_params"]
+    kept["sequence_parallel"] = vp.get("sequence_parallel", False)
+    kept["remat"] = vp.get("remat", False)
+    kept["split_cls_stream"] = vp.get("split_cls_stream", False)
+    for k in ("dp_mode", "grad_reduce_dtype", "fwd_chunk", "zero1", "dcn_slices"):
+        if k in smoke["trainer"]:
+            kept[k] = smoke["trainer"][k]
+    kept["remat_policy"] = vp.get("remat_policy", "full")
     kept["chunked_loss"] = smoke["loss"]["args"].get("chunked")
-    kept["arch_config"] = smoke["arch"]["args"]["video_params"]["arch_config"]
+    kept["arch_config"] = vp.get("arch_config", "")
     print("pod-recipe knobs under test:", json.dumps(kept))
 
     from oatx.cli.train import main as train_main
